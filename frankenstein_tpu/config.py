@@ -1,0 +1,269 @@
+"""Frozen configuration dataclasses for every model family and the trainer.
+
+Parity notes (defaults match the reference where it defines them):
+- ``MAEConfig``   ~ reference:models/brainformer.py:17-37
+- ``PerceiverConfig`` ~ reference:models/brainformer.py:39-53 (``Config``)
+- ``GPTConfig``   ~ reference:models/gpt2_model.py:108-116
+- ``VQVAEConfig`` ~ reference:models/vq_brain.py:162-196 + notebook config
+  ``dict(C=256, D=64, codebook_size=1024, n_electrodes=512)``
+- ``TrainConfig`` ~ reference:utils/train_utils.py:12-37
+
+Unlike the reference (mutable dataclasses + simple_parsing), configs here are
+frozen (hashable, safe as jit static args) and serializable to/from JSON so
+each checkpoint directory can carry its exact config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _asdict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _SerializableMixin:
+    """JSON (de)serialization for nested frozen config dataclasses."""
+
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            sub = f.type if dataclasses.is_dataclass(f.type) else None
+            if isinstance(v, dict) and sub is not None:
+                v = sub.from_dict(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Data geometry (reference:utils/data_utils.py:11-12)
+# ---------------------------------------------------------------------------
+
+MAX_INPUT_LEN = 768   # time bins per trial at 50 Hz (~15.4 s)
+MAX_TOKENS = 25       # GPT-2 tokens per sentence incl. bos/eos
+N_ELECTRODES = 256    # Utah-array channels (spikePow features)
+IGNORE_INDEX = -100   # label padding ignored by the CE loss
+GPT2_EOT = 50256      # <|endoftext|>
+N_SESSIONS = 24       # recording sessions (reference:utils/data_utils.py:14-37)
+
+
+# ---------------------------------------------------------------------------
+# Transformer-core configs
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MAEConfig(_SerializableMixin):
+    """BrainFormer encoder / MAE geometry (reference:models/brainformer.py:17-37)."""
+
+    # data params
+    window_size: int = 1024
+    n_electrodes: int = 256
+    patch_size: int = 48
+
+    # encoder
+    dim: int = 256
+    n_layers: int = 4
+    head_dim: int = 32
+    hidden_dim: int = 1024
+    n_heads: int = 8
+    n_kv_heads: int = 8
+    rope_theta: float = 10000.0
+
+    # decoder (MAE reconstruction head)
+    n_dec_layers: int = 4
+    decoder_dim: int = 256
+
+    # MAE masking
+    masking_ratio: float = 0.75
+
+    @property
+    def n_patches_per_channel(self) -> int:
+        return self.window_size // self.patch_size
+
+    @property
+    def block_size(self) -> int:
+        """Total token count: time-slabs x electrodes."""
+        return self.n_patches_per_channel * self.n_electrodes
+
+
+@dataclass(frozen=True)
+class PerceiverConfig(_SerializableMixin):
+    """Perceiver resampler on top of the encoder (reference:models/brainformer.py:39-53)."""
+
+    encoder: MAEConfig = field(default_factory=MAEConfig)
+
+    n_output_tokens: int = 32
+    output_dim: int = 1024
+
+    dim: int = 256  # must equal encoder.dim
+    n_layers: int = 2
+    head_dim: int = 16
+    hidden_dim: int = 512
+    n_heads: int = 4
+    n_kv_heads: int = 4
+    rope_theta: float = 10000.0
+
+
+@dataclass(frozen=True)
+class SimpleEncoderConfig(_SerializableMixin):
+    """SimpleMAE time-patch encoder (reference:models/simple_mae + simple_mae.ipynb cell 1)."""
+
+    block_size: int = 6           # number of time-patch tokens (window//patch)
+    patch_size: int = 128         # channels*? — tokens are whole time patches
+    dim: int = 256
+    n_layers: int = 6
+    head_dim: int = 32
+    hidden_dim: int = 1024
+    n_heads: int = 8
+    n_kv_heads: int = 8
+    rope_theta: float = 10000.0
+
+
+@dataclass(frozen=True)
+class SimpleMAEConfig(_SerializableMixin):
+    """SimpleMAE decoder config."""
+
+    dim: int = 256
+    n_layers: int = 2
+    head_dim: int = 32
+    hidden_dim: int = 1024
+    n_heads: int = 8
+    n_kv_heads: int = 8
+    rope_theta: float = 10000.0
+    masking_ratio: float = 0.75
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 (reference:models/gpt2_model.py:108-116)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GPTConfig(_SerializableMixin):
+    block_size: int = 1024
+    vocab_size: int = 50304   # padded to multiple of 64 (MXU-friendly; HF ckpt uses 50257)
+    n_layer: int = 12
+    n_head: int = 12
+    n_embd: int = 768
+    dropout: float = 0.0
+    bias: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+# ---------------------------------------------------------------------------
+# VQ-VAE "SoundStream" neural tokenizer (reference:models/vq_brain.py)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class VQVAEConfig(_SerializableMixin):
+    n_electrodes: int = 512   # spikePow(+tx4) channels into the codec
+    C: int = 256              # conv width
+    D: int = 64               # latent/codebook dim
+    codebook_size: int = 1024
+    strides: tuple = (2, 2)   # two stride-2 encoder blocks => 4x temporal downsample
+
+    # VectorQuantize knobs (reference:models/vq_brain.py:184-193)
+    commitment_weight: float = 0.25
+    use_cosine_sim: bool = True
+    kmeans_init: bool = True
+    ema_decay: float = 0.8          # vector_quantize_pytorch default decay
+    threshold_ema_dead_code: float = 2.0
+    eps: float = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Franky (brain prefix -> GPT-2) composite
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FrankyConfig(_SerializableMixin):
+    """Composite config (reference:notebooks_trainer/franky_baseline_gpt2.ipynb cell 5)."""
+
+    brain: PerceiverConfig = field(
+        default_factory=lambda: PerceiverConfig(
+            encoder=MAEConfig(window_size=768, patch_size=32),
+            n_output_tokens=32,
+            output_dim=768,
+        )
+    )
+    gpt: GPTConfig = field(default_factory=GPTConfig)
+    max_tokens: int = MAX_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# Whisper-style seq2seq path (reference:notebooks/whisper_*.ipynb)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WhisperConfig(_SerializableMixin):
+    """Whisper-tiny-like encoder/decoder geometry for the 80x3000 'fake mel' input."""
+
+    n_mels: int = 80
+    n_audio_ctx: int = 1500     # 3000 frames /2 after conv stride
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51864
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    dropout: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# Trainer (reference:utils/train_utils.py:12-37)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrainConfig(_SerializableMixin):
+    exp_name: str = "default"
+
+    batch_size: int = 256          # GLOBAL batch (split across data shards)
+    grad_accum: int = 1
+
+    p_augs: float = 0.0
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    max_steps: int = 100_000
+    eval_interval: int = 1_000
+
+    use_scheduler: bool = True
+    warmup_iters: int = 2_000
+    lr_decay_iters: int = 50_000
+
+    grad_clip: float = 1.0         # clip by VALUE (reference uses clip_grad_value_)
+    mixed_precision: bool = True   # bf16 compute on TPU (reference: fp16 AMP)
+
+    seed: int = 42
+    log_interval: int = 10
+    keep_checkpoints: int = 3
+
+    # mesh geometry: data x model
+    mesh_shape: Optional[tuple] = None   # None => (n_devices, 1)

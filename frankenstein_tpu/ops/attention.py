@@ -1,0 +1,128 @@
+"""Scaled dot-product attention for TPU.
+
+Replaces the reference's ``F.scaled_dot_product_attention`` calls
+(reference:models/gpt2_model.py:64, reference:models/brainformer.py:168,215)
+with two interchangeable backends:
+
+- ``"xla"``: einsum + fp32 softmax with masks computed on the fly from
+  positions (never a stored 6144^2 boolean buffer). XLA fuses the elementwise
+  chain into the matmuls.
+- ``"pallas"``: a mask-free block-sparse flash kernel for the slab-causal
+  structure (see ops/pallas/block_attention.py) that skips future slabs
+  entirely and never materializes scores in HBM.
+
+Shapes follow the JAX convention [B, T, H, D] (batch, time, heads, head_dim).
+``mask_mode`` selects the structure:
+  - None: dense (all-to-all)
+  - "causal": suffix-aligned causal (GPT)
+  - "slab": block-causal over time slabs of ``tok_per_time`` tokens
+An explicit boolean ``mask`` ([B, Tq, Tk] or [Tq, Tk] or [B, 1, Tq, Tk]) can
+be combined with any mode (used for padding and MAE token subsets).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from frankenstein_tpu.ops import masks as mask_lib
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _broadcast_mask(mask: jnp.ndarray, b: int, tq: int, tk: int) -> jnp.ndarray:
+    """Normalize a user mask to [B, 1, Tq, Tk], slicing suffixes like the
+    reference does (``attn_mask[..., -t_q:, -t_k:]``,
+    reference:models/brainformer.py:160-162)."""
+    if mask.ndim == 2:
+        mask = mask[None, None]
+    elif mask.ndim == 3:
+        mask = mask[:, None]
+    mask = mask[..., -tq:, -tk:]
+    return mask
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    mask_mode: Optional[str] = None,
+    tok_per_time: int = 0,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over [B, T, H, D] tensors. Returns [B, Tq, H, D].
+
+    Softmax statistics are fp32 regardless of input dtype (bf16-safe).
+    """
+    if impl == "auto":
+        impl = "xla"
+        if mask_mode == "slab" and mask is None:
+            # the Pallas kernel handles the pure slab-causal structure
+            from frankenstein_tpu.ops.pallas import block_attention
+            if block_attention.supported(q, k, tok_per_time):
+                impl = "pallas"
+
+    if impl == "pallas" and mask_mode == "slab" and mask is None:
+        from frankenstein_tpu.ops.pallas import block_attention
+        return block_attention.slab_causal_attention(q, k, v, tok_per_time)
+
+    return _xla_attention(q, k, v, mask=mask, mask_mode=mask_mode,
+                          tok_per_time=tok_per_time)
+
+
+def _xla_attention(q, k, v, *, mask=None, mask_mode=None, tok_per_time=0):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
+
+    # [B, H, Tq, Tk] in fp32 for stable softmax
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+
+    combined = None
+    if mask_mode == "causal":
+        combined = mask_lib.causal_mask(tq, tk)[None, None]
+    elif mask_mode == "slab":
+        assert tok_per_time > 0
+        # suffix-aligned like the reference's [-tq:, -tk:] slicing
+        m = mask_lib.block_causal_mask(tk, tok_per_time)[-tq:, -tk:]
+        combined = m[None, None]
+
+    if mask is not None:
+        um = _broadcast_mask(mask, b, tq, tk)
+        combined = um if combined is None else (combined & um)
+
+    if combined is not None:
+        logits = jnp.where(combined, logits, NEG_INF)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def cached_attention(q, k_cache, v_cache, cache_len) -> jnp.ndarray:
+    """Single-position decode attention against a fixed-shape KV cache.
+
+    q: [B, 1, H, D]; k_cache/v_cache: [B, S, H, D]; cache_len: [] or [B]
+    int32 count of valid cache entries. Positions >= cache_len are masked.
+
+    This is the op the reference lacks entirely (its generate() re-forwards
+    the whole sequence per token, reference:models/gpt2_model.py:335-339).
+    """
+    b, _, h, d = q.shape
+    s = k_cache.shape[1]
+    scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3)
+    valid = pos < jnp.reshape(cache_len, (-1, 1, 1, 1))
+    logits = jnp.where(valid, logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

@@ -1,0 +1,122 @@
+"""Attention backends: XLA path vs naive numpy; Pallas slab kernel (interpret
+mode on CPU) vs XLA path, forward and gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frankenstein_tpu.ops import attention, masks
+from frankenstein_tpu.ops.pallas import block_attention
+
+
+def naive_attention(q, k, v, mask=None):
+    b, tq, h, d = q.shape
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    if mask is not None:
+        logits = np.where(mask, logits, -1e30)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+def rand_qkv(rng, b, t, h, d, tk=None):
+    tk = tk or t
+    q = rng.standard_normal((b, t, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, tk, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, tk, h, d)).astype(np.float32)
+    return q, k, v
+
+
+def test_xla_dense_matches_naive():
+    rng = np.random.default_rng(0)
+    q, k, v = rand_qkv(rng, 2, 16, 2, 8)
+    out = np.asarray(attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla"))
+    np.testing.assert_allclose(out, naive_attention(q, k, v), atol=1e-5)
+
+
+def test_xla_causal_matches_naive():
+    rng = np.random.default_rng(1)
+    q, k, v = rand_qkv(rng, 2, 12, 2, 8)
+    m = np.asarray(masks.causal_mask(12, 12))[None, None]
+    out = np.asarray(attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_mode="causal", impl="xla"))
+    np.testing.assert_allclose(out, naive_attention(q, k, v, m), atol=1e-5)
+
+
+def test_xla_slab_matches_naive():
+    rng = np.random.default_rng(2)
+    q, k, v = rand_qkv(rng, 1, 24, 2, 8)
+    m = np.asarray(masks.block_causal_mask(24, 8))[None, None]
+    out = np.asarray(attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_mode="slab", tok_per_time=8, impl="xla"))
+    np.testing.assert_allclose(out, naive_attention(q, k, v, m), atol=1e-5)
+
+
+def test_explicit_mask_combines_with_padding():
+    rng = np.random.default_rng(3)
+    q, k, v = rand_qkv(rng, 2, 10, 1, 4)
+    valid = np.ones((2, 10), bool)
+    valid[0, 7:] = False
+    pair = np.asarray(masks.self_attention_padding_mask(jnp.asarray(valid)))
+    out = np.asarray(attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask=jnp.asarray(pair), impl="xla"))
+    ref = naive_attention(q, k, v, pair[:, None])
+    # padded queries produce garbage rows in both (softmax over -inf) — compare valid rows
+    np.testing.assert_allclose(out[:, :7], ref[:, :7], atol=1e-5)
+
+
+@pytest.mark.parametrize("t,p,h,d", [(64, 16, 2, 32), (96, 8, 1, 16)])
+def test_pallas_slab_forward_matches_xla(t, p, h, d):
+    rng = np.random.default_rng(4)
+    q, k, v = rand_qkv(rng, 2, t, h, d)
+    ref = attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_mode="slab", tok_per_time=p, impl="xla")
+    out = block_attention.slab_causal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), p, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_slab_grads_match_xla():
+    rng = np.random.default_rng(5)
+    t, p, h, d = 32, 8, 2, 16
+    q, k, v = rand_qkv(rng, 1, t, h, d)
+
+    def loss_pallas(q, k, v):
+        o = block_attention.slab_causal_attention(q, k, v, p, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        o = attention.dot_product_attention(q, k, v, mask_mode="slab",
+                                            tok_per_time=p, impl="xla")
+        return jnp.sum(jnp.sin(o))
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_cached_attention_matches_full():
+    """Decode path: attending over a half-filled cache == full attention over
+    the valid prefix."""
+    rng = np.random.default_rng(6)
+    b, s, h, d = 2, 16, 2, 8
+    valid_len = 9
+    q = rng.standard_normal((b, 1, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k_cache, v_cache = k.copy(), v.copy()
+    k_cache[:, valid_len:] = 123.0   # garbage beyond cache_len must not matter
+    v_cache[:, valid_len:] = -55.0
+
+    out = np.asarray(attention.cached_attention(
+        jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+        jnp.full((b,), valid_len)))
+    ref = naive_attention(q, k[:, :valid_len], v[:, :valid_len])
+    np.testing.assert_allclose(out, ref, atol=1e-5)
