@@ -30,7 +30,7 @@ def test_rope_matches_complex_formulation(align, t, seq_len):
     cache = rope.build_rope_cache(32, seq_len, theta=10000.0)
     ours = np.asarray(rope.apply_rope(jnp.asarray(x), cache, align=align))
     ref = complex_reference_rope(x, seq_len, 10000.0, align)
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 def test_rope_per_position_gather():
