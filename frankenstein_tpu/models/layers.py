@@ -1,0 +1,173 @@
+"""Shared transformer blocks (flax.linen).
+
+TPU-native re-design of the reference's block zoo
+(reference:models/brainformer.py:113-268, duplicated in models/simple_mae):
+
+- SwiGLU MLP (w1/w3 gate, w2 project, no bias)
+- multi-head self attention with RoPE + structured masks, dispatching to the
+  Pallas slab-causal kernel when the shape qualifies
+- cross attention (Perceiver read-out)
+- pre-norm residual Block (LayerNorm or RMSNorm variant — the reference uses
+  LayerNorm in brainformer.py:237 and RMSNorm in simple_mae:197)
+- CrossBlock: cross-attn -> MLP -> self-attn Block
+  (reference:models/brainformer.py:247-268)
+
+All modules take ``dtype`` (compute, bf16 on TPU) and keep params in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from frankenstein_tpu.ops import attention as attn_ops
+from frankenstein_tpu.ops import norms
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
+        return norms.rms_norm(x, weight, self.eps)
+
+
+class LayerNorm(nn.Module):
+    dim: int
+    eps: float = 1e-5
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+                if self.use_bias else None)
+        return norms.layer_norm(x, weight, bias, self.eps)
+
+
+def make_norm(kind: str, dim: int, name: str):
+    if kind == "rmsnorm":
+        return RMSNorm(dim, name=name)
+    return LayerNorm(dim, name=name)
+
+
+class SwiGLU(nn.Module):
+    """reference:models/brainformer.py:115-124 (w2(silu(w1 x) * w3 x))."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        return dense(self.dim, "w2")(nn.silu(dense(self.hidden_dim, "w1")(x))
+                                     * dense(self.hidden_dim, "w3")(x))
+
+
+class SelfAttention(nn.Module):
+    """MHA with RoPE and structured masks (reference:models/brainformer.py:126-173)."""
+
+    dim: int
+    n_heads: int
+    head_dim: int
+    dtype: Any = jnp.float32
+    rope_align: str = "suffix"
+
+    @nn.compact
+    def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
+                 rope=None, impl="auto"):
+        b, t, _ = x.shape
+        inner = self.n_heads * self.head_dim
+        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        q = dense(inner, "qw")(x).reshape(b, t, self.n_heads, self.head_dim)
+        k = dense(inner, "kw")(x).reshape(b, t, self.n_heads, self.head_dim)
+        v = dense(inner, "vw")(x).reshape(b, t, self.n_heads, self.head_dim)
+
+        if rope is not None:
+            from frankenstein_tpu.ops import rope as rope_ops
+            q = rope_ops.apply_rope(q, rope, align=self.rope_align)
+            k = rope_ops.apply_rope(k, rope, align=self.rope_align)
+
+        out = attn_ops.dot_product_attention(
+            q, k, v, mask=mask, mask_mode=mask_mode,
+            tok_per_time=tok_per_time, impl=impl)
+        out = out.reshape(b, t, inner)
+        return dense(self.dim, "project")(out)
+
+
+class CrossAttention(nn.Module):
+    """Queries read from a (longer) context (reference:models/brainformer.py:175-219)."""
+
+    dim: int
+    n_heads: int
+    head_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, mask=None):
+        b, t, _ = x.shape
+        tk = context.shape[1]
+        inner = self.n_heads * self.head_dim
+        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        q = dense(inner, "qw")(x).reshape(b, t, self.n_heads, self.head_dim)
+        k = dense(inner, "kw")(context).reshape(b, tk, self.n_heads, self.head_dim)
+        v = dense(inner, "vw")(context).reshape(b, tk, self.n_heads, self.head_dim)
+        out = attn_ops.dot_product_attention(q, k, v, mask=mask)
+        return dense(self.dim, "project")(out.reshape(b, t, inner))
+
+
+class Block(nn.Module):
+    """Pre-norm residual block (reference:models/brainformer.py:234-245)."""
+
+    dim: int
+    n_heads: int
+    head_dim: int
+    hidden_dim: int
+    norm: str = "layernorm"
+    dtype: Any = jnp.float32
+    rope_align: str = "suffix"
+
+    @nn.compact
+    def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
+                 rope=None, impl="auto"):
+        attn = SelfAttention(self.dim, self.n_heads, self.head_dim,
+                             dtype=self.dtype, rope_align=self.rope_align,
+                             name="attn")
+        mlp = SwiGLU(self.dim, self.hidden_dim, dtype=self.dtype, name="mlp")
+        x = x + attn(make_norm(self.norm, self.dim, "ln_1")(x),
+                     mask=mask, mask_mode=mask_mode,
+                     tok_per_time=tok_per_time, rope=rope, impl=impl)
+        x = x + mlp(make_norm(self.norm, self.dim, "ln_2")(x))
+        return x
+
+
+class CrossBlock(nn.Module):
+    """cross-attn + MLP, then a self-attn Block
+    (reference:models/brainformer.py:247-268)."""
+
+    dim: int
+    n_heads: int
+    head_dim: int
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, self_mask=None, cross_mask=None, sa_rope=None):
+        cross = CrossAttention(self.dim, self.n_heads, self.head_dim,
+                               dtype=self.dtype, name="cross_attn")
+        mlp = SwiGLU(self.dim, self.hidden_dim, dtype=self.dtype, name="mlp")
+        x = x + cross(LayerNorm(self.dim, name="ln_1")(x), context, mask=cross_mask)
+        x = x + mlp(LayerNorm(self.dim, name="ln_2")(x))
+        x = Block(self.dim, self.n_heads, self.head_dim, self.hidden_dim,
+                  dtype=self.dtype, name="sa_block")(x, mask=self_mask, rope=sa_rope)
+        return x

@@ -105,22 +105,25 @@ def _xla_attention(q, k, v, *, mask=None, mask_mode=None, tok_per_time=0):
     return out.astype(q.dtype)
 
 
-def cached_attention(q, k_cache, v_cache, cache_len) -> jnp.ndarray:
-    """Single-position decode attention against a fixed-shape KV cache.
+def cached_attention(q, k_cache, v_cache, lengths) -> jnp.ndarray:
+    """Decode/prefill attention against a fixed-shape KV cache.
 
-    q: [B, 1, H, D]; k_cache/v_cache: [B, S, H, D]; cache_len: [] or [B]
-    int32 count of valid cache entries. Positions >= cache_len are masked.
+    q: [B, T, H, D] — T new positions whose keys/values have already been
+    written into the cache; k_cache/v_cache: [B, S, H, D]; lengths: [] or [B]
+    int32 — the number of valid cache entries visible to query row 0 (i.e.
+    prior context + 1 for its own key). Row i sees positions j < lengths + i.
 
     This is the op the reference lacks entirely (its generate() re-forwards
     the whole sequence per token, reference:models/gpt2_model.py:335-339).
     """
-    b, _, h, d = q.shape
+    b, t, h, d = q.shape
     s = k_cache.shape[1]
     scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
                         preferred_element_type=jnp.float32) * scale
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3)
-    valid = pos < jnp.reshape(cache_len, (-1, 1, 1, 1))
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t, s), 3)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t, s), 2)
+    valid = kj < qi + jnp.reshape(lengths, (-1, 1, 1, 1))
     logits = jnp.where(valid, logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v_cache.dtype), v_cache,
