@@ -210,6 +210,9 @@ class FrankyConfig(_SerializableMixin):
     )
     gpt: GPTConfig = field(default_factory=GPTConfig)
     max_tokens: int = MAX_TOKENS
+    # -100 label padding becomes this input id (reference uses 50256,
+    # reference:franky_baseline_gpt2.ipynb cell 4)
+    pad_token_id: int = GPT2_EOT
 
 
 # ---------------------------------------------------------------------------

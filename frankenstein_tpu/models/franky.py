@@ -1,0 +1,52 @@
+"""Franky: BrainEncoder prefix -> GPT-2, the end-to-end brain-to-text model
+(reference:notebooks_trainer/franky_baseline_gpt2.ipynb cells 3-5).
+
+Training: 32 Perceiver output vectors become a soft prompt; targets with -100
+padding are swapped to 50256 for the input ids (reference cell 4).
+
+Generation: the reference's ``Franky.generate`` is broken (passes ``x``
+instead of ``input_ids`` to generate, references an undefined variable —
+reference cell 4); here we implement the intended behavior with a KV-cached
+decode loop (see decode/sampling.py for sampling/beam drivers).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from frankenstein_tpu.config import FrankyConfig, GPT2_EOT, IGNORE_INDEX
+from frankenstein_tpu.models.brainformer import BrainEncoder
+from frankenstein_tpu.models.gpt2 import GPT
+
+
+class Franky(nn.Module):
+    cfg: FrankyConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.brain_model = BrainEncoder(self.cfg.brain, dtype=self.dtype,
+                                        name="brain_model")
+        self.llm_model = GPT(self.cfg.gpt, dtype=self.dtype, name="llm_model")
+
+    def __call__(self, x, targets=None, date_info=None):
+        """x: [B, 768, 256] signal; targets: [B, 25] token ids with -100 pad.
+
+        Returns (loss, logits) — the uniform trainable-model contract
+        (reference:utils/train_utils.py:138).
+        """
+        features = self.brain_model(x)
+        idx = jnp.where(targets == IGNORE_INDEX, self.cfg.pad_token_id, targets)
+        return self.llm_model(idx, prefix=features, targets=targets)
+
+    def encode(self, x):
+        """Brain window -> prefix vectors (decode-time entry)."""
+        return self.brain_model(x)
+
+    def prefill(self, idx, prefix, cache):
+        return self.llm_model.prefill(idx, prefix, cache)
+
+    def decode_step(self, token, cache, length):
+        return self.llm_model.decode_step(token, cache, length)

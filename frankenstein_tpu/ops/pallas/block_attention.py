@@ -14,28 +14,30 @@ either fully allowed (j <= i) or entirely skipped (j > i) — no per-element
 mask ever exists, and the kv loop for query block i runs only i+1 iterations:
 half the FLOPs of dense attention plus zero mask traffic.
 
-Forward saves the per-row logsumexp; the backward pass is two more Pallas
-kernels (dq and dkv) using the standard flash-attention recomputation
-identities. K/V/dO for one (batch, head) fit comfortably in VMEM at these
-shapes (T*D*4B ~ 0.8 MB each), so the kernels keep them resident and loop
-over tiles with the MXU doing all the work.
+Forward saves the per-row logsumexp (layout [BH, 1, T] so the lane dim is the
+full row — TPU block rules); the backward pass is two more Pallas kernels (dq
+and dkv) using the standard flash-attention recomputation identities. K/V/dO
+for one (batch, head) fit comfortably in VMEM at these shapes (T*D*4B ~ 0.8 MB
+each), so the kernels keep them resident and loop over tiles with the MXU
+doing all the work.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under ~16MB/core
 
 
-def supported(q: jnp.ndarray, k: jnp.ndarray, tok_per_time: int) -> bool:
+def supported(q: jnp.ndarray, k: jnp.ndarray, tok_per_time: int,
+              interpret: bool = False) -> bool:
     """Whether the kernel handles this problem (else caller falls back to XLA)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
     if tok_per_time <= 0:
         return False
     b, tq, h, d = q.shape
@@ -44,11 +46,12 @@ def supported(q: jnp.ndarray, k: jnp.ndarray, tok_per_time: int) -> bool:
         return False
     if tq % tok_per_time != 0:
         return False
-    if tok_per_time % 8 != 0 or tok_per_time > 1024:
+    # lane-dim dynamic stores (the LSE row) need 128-multiple offsets
+    if tok_per_time % 128 != 0 or tok_per_time > 1024:
         return False
     if d > 256:
         return False
-    # K, V, (+ q/do/lse/delta in bwd) resident per (b, h)
+    # K, V (+ q/do/lse/delta in bwd) resident per (b, h)
     resident = 6 * tq * max(d, 128) * 4
     return resident < VMEM_BUDGET
 
@@ -82,7 +85,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block: int, scale: float
 
     m, l, acc = jax.lax.fori_loop(0, i + 1, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0, 0, pl.ds(i * block, block)] = (m + jnp.log(l))[:, 0]
 
 
 def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
@@ -98,11 +101,11 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((1, block, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
-            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(2 * 2 * bh * (t * (t + block) // 2) * d),
@@ -123,8 +126,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     i = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0, pl.ds(i * block, block)][:, None]
+    delta = delta_ref[0, 0, pl.ds(i * block, block)][:, None]
     d = q.shape[-1]
 
     def body(j, dq):
@@ -155,8 +158,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         qi = q_ref[0, pl.ds(i * block, block), :].astype(jnp.float32)
         doi = do_ref[0, pl.ds(i * block, block), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block, block)][:, None]
-        delta = delta_ref[0, pl.ds(i * block, block)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block, block)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block, block)][:, None]
         s = jax.lax.dot_general(qi, kj, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)                                   # [Pq, Pk]
@@ -177,18 +180,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool):
     bh, t, d = q3.shape
-    delta = jnp.sum(o3.astype(jnp.float32) * do3.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(o3.astype(jnp.float32) * do3.astype(jnp.float32),
+                    axis=-1)[:, None, :]                       # [BH, 1, T]
 
     grid = (bh, t // block)
     qblk = pl.BlockSpec((1, block, d), lambda b, i: (b, i, 0))
     full = pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0))
-    vecblk = pl.BlockSpec((1, block), lambda b, i: (b, i))
-    vecfull = pl.BlockSpec((1, t), lambda b, i: (b, 0))
+    vec = pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block=block, scale=scale),
         grid=grid,
-        in_specs=[qblk, full, full, qblk, vecblk, vecblk],
+        in_specs=[qblk, full, full, qblk, vec, vec],
         out_specs=qblk,
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
         interpret=interpret,
@@ -197,7 +200,7 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block=block, scale=scale),
         grid=grid,
-        in_specs=[full, qblk, qblk, full, vecfull, vecfull],
+        in_specs=[full, qblk, qblk, full, vec, vec],
         out_specs=[qblk, qblk],
         out_shape=[jax.ShapeDtypeStruct((bh, t, d), k3.dtype),
                    jax.ShapeDtypeStruct((bh, t, d), v3.dtype)],
