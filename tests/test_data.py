@@ -1,0 +1,151 @@
+"""Data pipeline: normalization parity with sklearn/scipy, padding, tokenizer
+framing, synthetic dataset geometry, device-op parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from frankenstein_tpu.config import IGNORE_INDEX, MAX_INPUT_LEN, MAX_TOKENS
+from frankenstein_tpu.data import datasets, text, tokenizers
+from frankenstein_tpu.ops import preprocess
+
+
+def test_zscore_per_block_matches_sklearn():
+    from sklearn.preprocessing import StandardScaler
+    rng = np.random.default_rng(0)
+    brains = [rng.standard_normal((t, 4)) * 3 + 1 for t in (10, 20, 15)]
+    blocks = [0, 1, 0]
+    ours = datasets.z_score_per_block_scaling(brains, blocks)
+    # sklearn per block
+    cat0 = np.concatenate([brains[0], brains[2]])
+    sc0 = StandardScaler().fit(cat0)
+    sc1 = StandardScaler().fit(brains[1])
+    np.testing.assert_allclose(ours[0], sc0.transform(brains[0]), atol=1e-5)
+    np.testing.assert_allclose(ours[1], sc1.transform(brains[1]), atol=1e-5)
+    np.testing.assert_allclose(ours[2], sc0.transform(brains[2]), atol=1e-5)
+
+
+def test_minmax_per_block_matches_sklearn():
+    from sklearn.preprocessing import MinMaxScaler
+    rng = np.random.default_rng(1)
+    brains = [rng.standard_normal((8, 3)), rng.standard_normal((12, 3))]
+    blocks = [5, 5]
+    ours = datasets.min_max_per_block_scaling(brains, blocks)
+    sc = MinMaxScaler().fit(np.concatenate(brains))
+    np.testing.assert_allclose(ours[0], sc.transform(brains[0]), atol=1e-6)
+
+
+def test_device_zscore_by_segments_matches_host():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((30, 4)).astype(np.float32) * 2 + 3
+    seg = np.asarray([0] * 10 + [1] * 20)
+    dev = np.asarray(preprocess.zscore_by_segments(jnp.asarray(x),
+                                                   jnp.asarray(seg), 2))
+    host = datasets.z_score_per_block_scaling([x[:10], x[10:]], [0, 1])
+    np.testing.assert_allclose(dev[:10], host[0], atol=1e-4)
+    np.testing.assert_allclose(dev[10:], host[1], atol=1e-4)
+
+
+def test_gaussian_smooth_matches_scipy():
+    from scipy.ndimage import gaussian_filter1d
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((50, 6)).astype(np.float32)
+    ours = np.asarray(preprocess.gaussian_smooth(jnp.asarray(x), sigma=1.0))
+    ref = gaussian_filter1d(x, sigma=1.0, axis=0)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_resample_fft_matches_scipy():
+    from scipy import signal
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((40, 3)).astype(np.float32)
+    ours = np.asarray(preprocess.resample_fft(jnp.asarray(x), 80, axis=0))
+    ref = signal.resample(x, 80, axis=0)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_pca_reconstruction():
+    rng = np.random.default_rng(5)
+    # rank-2 data + noise
+    basis = rng.standard_normal((2, 8))
+    x = rng.standard_normal((100, 2)) @ basis
+    mean, comps = preprocess.pca_fit(jnp.asarray(x, jnp.float32), 2)
+    z = preprocess.pca_transform(jnp.asarray(x, jnp.float32), mean, comps)
+    recon = np.asarray(z @ comps + mean)
+    np.testing.assert_allclose(recon, x, atol=1e-3)
+
+
+def test_pad_truncate():
+    brains = [np.ones((900, 4)), np.ones((100, 4))]
+    out = datasets.pad_truncate_brain_list(brains, 768)
+    assert out[0].shape == (768, 4) and out[1].shape == (768, 4)
+    assert out[1][100:].sum() == 0
+
+
+def test_process_string():
+    assert text.process_string("Hello, World! don't.") == "hello world don't"
+
+
+def test_token_padding_roundtrip():
+    toks = [50256, 1, 2, 50256]
+    padded = text.pad_token_list(toks, 8)
+    assert padded == [50256, 1, 2, 50256, -100, -100, -100, -100]
+    assert text.remove_padding(padded) == toks
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = tokenizers.ByteTokenizer()
+    fn = tokenizers.get_tokenizer(tok)
+    ids = fn("hi there")
+    assert ids[0] == tok.eot_id and ids[-1] == tok.eot_id
+    assert tok.decode(ids[1:-1]) == "hi there"
+
+
+def test_synthetic_dataset_geometry():
+    tok = tokenizers.ByteTokenizer()
+    ds = datasets.BrainDataset.synthetic(
+        n_trials=8, tokenize_function=tokenizers.get_tokenizer(tok),
+        n_electrodes=16)
+    assert len(ds) == 8
+    x, y, d = ds[0]
+    assert x.shape == (MAX_INPUT_LEN, 16) and x.dtype == np.float32
+    assert y.shape == (MAX_TOKENS,) and y.dtype == np.int64
+    assert y[0] == tok.eot_id
+    assert (y == IGNORE_INDEX).sum() > 0 or len(
+        [t for t in y if t != IGNORE_INDEX]) == MAX_TOKENS
+
+    xs, ys, ds_ = ds.as_arrays()
+    assert xs.shape == (8, MAX_INPUT_LEN, 16) and ys.shape == (8, MAX_TOKENS)
+
+
+def test_batch_iterator_shapes():
+    tok = tokenizers.ByteTokenizer()
+    ds = datasets.BrainDataset.synthetic(
+        n_trials=10, tokenize_function=tokenizers.get_tokenizer(tok),
+        n_electrodes=8)
+    it = datasets.batch_iterator(ds, 4, shuffle=True, epochs=1)
+    batches = list(it)
+    assert len(batches) == 2   # drop_last
+    x, y, d = batches[0]
+    assert x.shape == (4, MAX_INPUT_LEN, 8) and y.shape == (4, MAX_TOKENS)
+    assert d.shape == (4,)
+
+
+def test_gpt2_bpe_when_assets_exist(tmp_path):
+    """Exercise the BPE machinery with a miniature vocab/merges pair."""
+    import json
+    # tiny vocab: bytes for 'h','i',' t' merge etc.
+    b2u = tokenizers._bytes_to_unicode()
+    vocab = {b2u[ord(c)]: i for i, c in enumerate("hit ")}
+    vocab[b2u[ord("h")] + b2u[ord("i")]] = len(vocab)   # merged 'hi'
+    vocab["<|endoftext|>"] = 50256
+    merges = "#version: 0.2\n" + f"{b2u[ord('h')]} {b2u[ord('i')]}\n"
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(merges)
+    tok = tokenizers.GPT2BPE(str(tmp_path / "vocab.json"),
+                             str(tmp_path / "merges.txt"))
+    ids = tok.encode("hi")
+    assert ids == [vocab[b2u[ord("h")] + b2u[ord("i")]]]
+    assert tok.decode(ids) == "hi"
+    ids2 = tok.encode("<|endoftext|>hi<|endoftext|>")
+    assert ids2[0] == 50256 and ids2[-2] == ids[0] and ids2[-1] == 50256
