@@ -1,0 +1,243 @@
+"""Training runtime: pjit train step, grad accumulation, bf16 policy,
+warmup-cosine schedule, value clipping, periodic eval, best-val orbax
+checkpoints, JSONL metrics.
+
+TPU-native re-design of reference:utils/train_utils.py:93-261:
+- the Accelerate DDP wrap + fp16 AMP becomes one jitted step over a
+  ('data','model') Mesh with bf16 compute; the gradient all-reduce is the
+  XLA-inserted psum at the jit boundary;
+- ``clip_grad_value_(1.0)`` -> optax.clip(1.0) (elementwise value clip);
+- grad accumulation is a lax.scan over microbatches inside the step (one
+  optimizer update per global batch, same semantics as
+  ``accelerator.accumulate``);
+- checkpoints carry params + optimizer state + mutable collections + step
+  (the reference saves weights only and cannot resume optimization,
+  reference:train_utils.py:171).
+
+The uniform model contract is the reference's: ``loss, pred = model(inputs,
+labels, date_info)`` (reference:train_utils.py:138), adapted per-model by
+``TrainableSpec``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from frankenstein_tpu.config import TrainConfig
+from frankenstein_tpu.parallel import mesh as mesh_lib
+from frankenstein_tpu.train.schedule import make_lr_schedule
+from frankenstein_tpu.utils.metrics import MetricLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainableSpec:
+    """How to drive a model through the uniform (inputs, labels, date) call."""
+
+    module: Any                      # linen module
+    rng_names: Tuple[str, ...] = ()  # e.g. ('mask',) for MAE, ('vq',) for VQ-VAE
+    mutable: Tuple[str, ...] = ()    # e.g. ('vq',) — threaded state collections
+    needs_train_flag: bool = False   # pass train=True/False
+    needs_labels: bool = True        # MAE variants ignore labels
+
+    def call_kwargs(self, train: bool):
+        return {"train": train} if self.needs_train_flag else {}
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    extra: Any            # dict of mutable collections (possibly empty)
+    step: jnp.ndarray
+
+
+def make_optimizer(config: TrainConfig):
+    """AdamW + value clip, lr driven by the warmup-cosine schedule.
+
+    Weight decay applies to every parameter — torch AdamW semantics, which is
+    what run_train_model uses (reference:train_utils.py:117-119).
+    """
+    sched = make_lr_schedule(config)
+    tx = optax.chain(
+        optax.clip(config.grad_clip),
+        optax.adamw(learning_rate=sched, b1=config.adam_b1, b2=config.adam_b2,
+                    weight_decay=config.weight_decay),
+    )
+    return tx, sched
+
+
+def init_state(spec: TrainableSpec, config: TrainConfig, sample_batch,
+               seed: Optional[int] = None) -> Tuple[TrainState, Any]:
+    """Initialize params/extra collections from one batch and build the tx."""
+    tx, _ = make_optimizer(config)
+    seed = config.seed if seed is None else seed
+    rngs = {"params": jax.random.key(seed)}
+    for i, name in enumerate(spec.rng_names):
+        rngs[name] = jax.random.key(seed + 1 + i)
+    x, y, d = sample_batch
+    args = (jnp.asarray(x[:2]),) + ((jnp.asarray(y[:2]),) if spec.needs_labels else ())
+    variables = spec.module.init(rngs, *args, **spec.call_kwargs(train=False))
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k not in ("params",)}
+    state = TrainState(params=params, opt_state=tx.init(params), extra=extra,
+                       step=jnp.zeros((), jnp.int32))
+    return state, tx
+
+
+def _forward(spec: TrainableSpec, params, extra, batch, rngs, train: bool):
+    x, y, d = batch
+    args = (x,) + ((y,) if spec.needs_labels else ())
+    variables = {"params": params, **extra}
+    mutable = list(spec.mutable) + (["aux"] if train else [])
+    out, mutated = spec.module.apply(
+        variables, *args, date_info=d, rngs=rngs, mutable=mutable,
+        **spec.call_kwargs(train))
+    loss = out[0]
+    aux = {}
+    if "aux" in mutated:
+        aux = {k: jnp.mean(jnp.asarray(v)) for k, v in
+               flax.traverse_util.flatten_dict(mutated["aux"], sep="/").items()}
+        mutated = {k: v for k, v in mutated.items() if k != "aux"}
+    new_extra = {**extra, **mutated}
+    return loss, new_extra, aux
+
+
+def make_train_step(spec: TrainableSpec, tx, config: TrainConfig):
+    accum = max(config.grad_accum, 1)
+
+    def split_rngs(rng, i):
+        return {name: jax.random.fold_in(jax.random.fold_in(rng, i), h)
+                for h, name in enumerate(spec.rng_names)}
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params, micro, extra, i):
+            loss, new_extra, aux = _forward(
+                spec, params, extra, micro, split_rngs(rng, i), train=True)
+            return loss, (new_extra, aux)
+
+        if accum == 1:
+            (loss, (extra, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, state.extra, 0)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda a: a.reshape((accum, a.shape[0] // accum) + a.shape[1:]),
+                batch)
+
+            def scan_body(carry, im):
+                i, m = im
+                gsum, lsum, extra = carry
+                (l, (new_extra, aux)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, m, extra, i)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (gsum, lsum + l, new_extra), aux
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, lsum, extra), auxs = jax.lax.scan(
+                scan_body, (zeros, 0.0, state.extra),
+                (jnp.arange(accum), micro))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss = lsum / accum
+            aux = jax.tree_util.tree_map(jnp.mean, auxs)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, extra=extra,
+                               step=state.step + 1)
+        gnorm = optax.global_norm(grads)
+        return new_state, loss, {"grad_norm": gnorm, **aux}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(spec: TrainableSpec):
+    def eval_step(state: TrainState, batch, rng):
+        rngs = {name: jax.random.fold_in(rng, h)
+                for h, name in enumerate(spec.rng_names)}
+        loss, _, _ = _forward(spec, state.params, state.extra, batch, rngs,
+                              train=False)
+        return loss
+
+    return jax.jit(eval_step)
+
+
+def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
+                    project_name: str = "transformer",
+                    save_folder: Path = Path("logs"),
+                    mesh=None,
+                    hooks: Optional[Callable] = None) -> TrainState:
+    """Step-based training loop (reference:utils/train_utils.py:93-186):
+    infinite epochs over the train loader, eval every ``eval_interval`` steps,
+    best-val checkpoint, stop past ``max_steps``."""
+    from frankenstein_tpu.data.datasets import batch_iterator
+    from frankenstein_tpu.train import checkpoints as ckpt_lib
+
+    mesh = mesh or mesh_lib.make_mesh(config.mesh_shape)
+    train_ds, val_ds = datasets
+    save_dir = Path(save_folder) / config.exp_name
+    save_dir.mkdir(parents=True, exist_ok=True)
+    (save_dir / "train_config.json").write_text(config.to_json())
+
+    logger = MetricLogger(save_dir / "metrics.jsonl", project=project_name)
+    train_iter = batch_iterator(train_ds, config.batch_size, shuffle=True,
+                                seed=config.seed)
+
+    sample = next(iter(batch_iterator(train_ds, min(config.batch_size, 8),
+                                      shuffle=False, epochs=1)))
+    state, tx = init_state(spec, config, sample)
+    state = mesh_lib.replicate(mesh, state)
+
+    train_step = make_train_step(spec, tx, config)
+    eval_step = make_eval_step(spec)
+    _, sched = make_optimizer(config)
+
+    rng = jax.random.key(config.seed)
+    best_val = float("inf")
+    t0 = time.perf_counter()
+    tokens_seen = 0
+
+    with mesh:
+        for batch in train_iter:
+            step = int(state.step)
+            if step > config.max_steps:
+                break
+            rng, step_rng = jax.random.split(rng)
+            sharded = mesh_lib.shard_batch(mesh, batch)
+            state, loss, aux = train_step(state, sharded, step_rng)
+            tokens_seen += batch[0].shape[0]
+            step = int(state.step)
+
+            if step % config.log_interval == 0:
+                dt = time.perf_counter() - t0
+                logger.log(step, {
+                    "train/loss": float(loss),
+                    "lr": float(sched(step)),
+                    "grad_norm": float(aux.get("grad_norm", 0.0)),
+                    "samples_per_sec": tokens_seen / max(dt, 1e-9),
+                    **{k: float(v) for k, v in aux.items() if k != "grad_norm"},
+                })
+
+            if step % config.eval_interval == 0:
+                val_losses = []
+                for vb in batch_iterator(val_ds, config.batch_size,
+                                         shuffle=False, epochs=1):
+                    vsharded = mesh_lib.shard_batch(mesh, vb)
+                    val_losses.append(float(eval_step(state, vsharded, rng)))
+                mean_val = float(np.mean(val_losses)) if val_losses else float("nan")
+                logger.log(step, {"val/loss": mean_val})
+                print(f"step {step}: train {float(loss):.4f} val {mean_val:.4f}")
+                if mean_val < best_val:
+                    best_val = mean_val
+                    ckpt_lib.save_checkpoint(save_dir, state, step, mean_val,
+                                             keep=config.keep_checkpoints)
+                if hooks:
+                    hooks(state, step)
+    return state
