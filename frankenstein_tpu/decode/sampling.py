@@ -1,0 +1,214 @@
+"""Autoregressive decoding: KV-cached top-k sampling and batched beam search.
+
+The reference generates by re-forwarding the WHOLE sequence (prefix + all
+tokens so far) for every new token with no KV cache
+(reference:models/gpt2_model.py:328-353) and runs beam search as Python loops
+over beams with sequential re-forwards (reference:gpt2_model.py:355-454).
+Here:
+
+- one prefill pass fills a fixed-shape KV cache, then each token costs a
+  single-position forward (``lax.scan`` over steps, jit-compiled once);
+- beams are VECTORIZED into the batch dimension — a W-beam search over a
+  batch of B sentences is one [B*W] decode; cache rows are re-gathered by
+  parent-beam index each step;
+- everything is static-shaped: fixed max_new_tokens (the dataset caps
+  sentences at 25 tokens, reference:utils/data_utils.py:12).
+
+All drivers take the module + params explicitly (pure functions — jit/shard
+them like any other step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from frankenstein_tpu.models import gpt2
+
+NEG_INF = -1e30
+
+
+def _topk_filter(logits: jnp.ndarray, k: Optional[int]) -> jnp.ndarray:
+    """Keep top-k logits, set the rest to -inf (reference:gpt2_model.py:343-345)."""
+    if k is None or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def _prefill_args(module, params, idx0, prefix, max_len):
+    gpt_cfg = module.cfg.gpt if hasattr(module.cfg, "gpt") else module.cfg
+    b = idx0.shape[0]
+    cache = gpt2.init_cache(gpt_cfg, b, max_len)
+    logits, cache, length = module.apply(params, idx0, prefix, cache,
+                                         method=type(module).prefill)
+    return logits, cache, length
+
+
+@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
+                                             "top_k", "greedy"))
+def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
+             temperature: float = 1.0, top_k: Optional[int] = None,
+             greedy: bool = False) -> jnp.ndarray:
+    """Top-k sampling (or greedy) with a KV cache.
+
+    idx0: [B, T0] prompt ids (the reference seeds with <|endoftext|>);
+    prefix: [B, P, n_embd] soft prompt or None. Returns [B, max_new_tokens].
+    """
+    max_len = (idx0.shape[1] + (prefix.shape[1] if prefix is not None else 0)
+               + max_new_tokens + 1)
+    logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
+
+    def pick(logits, r):
+        logits = logits.astype(jnp.float32) / temperature
+        logits = _topk_filter(logits, top_k)
+        if greedy:
+            return jnp.argmax(logits, axis=-1)
+        return jax.random.categorical(r, logits, axis=-1)
+
+    def step(carry, r):
+        logits, cache, length = carry
+        tok = pick(logits, r)
+        logits, cache, length = module.apply(
+            params, tok, cache, length, method=type(module).decode_step)
+        return (logits, cache, length), tok
+
+    rngs = jax.random.split(rng, max_new_tokens)
+    _, toks = jax.lax.scan(step, (logits, cache, length), rngs)
+    return jnp.transpose(toks)                      # [B, max_new_tokens]
+
+
+@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
+                                             "beam_width", "length_normalize"))
+def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
+                beam_width: int = 3, length_normalize: bool = False):
+    """Deterministic batched beam search (the behavior of
+    reference:gpt2_model.py:415-454, vectorized).
+
+    Returns (tokens [B, max_new_tokens], scores [B]) of the best beam.
+    """
+    b, t0 = idx0.shape
+    w = beam_width
+    vocab = None  # inferred from logits below
+
+    # fold beams into batch: [B*W, ...]
+    rep = lambda x: jnp.repeat(x, w, axis=0) if x is not None else None
+    max_len = (t0 + (prefix.shape[1] if prefix is not None else 0)
+               + max_new_tokens + 1)
+    logits, cache, length = _prefill_args(module, params, rep(idx0),
+                                          rep(prefix), max_len)
+    vocab = logits.shape[-1]
+
+    # beams 1..W-1 start dead so the first expansion draws W distinct tokens
+    beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (w - 1)), (b,))
+
+    def step(carry, i):
+        logits, cache, length, scores, toks = carry
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        total = scores[:, None] + logp                     # [B*W, V]
+        total = total.reshape(b, w * vocab)
+        top_scores, top_idx = jax.lax.top_k(total, w)      # [B, W]
+        parent = top_idx // vocab                          # beam index in [0, W)
+        token = top_idx % vocab
+
+        flat_parent = (jnp.arange(b)[:, None] * w + parent).reshape(-1)
+        token_flat = token.reshape(-1)
+
+        # reorder cache + token history to the surviving beams
+        cache = jax.tree_util.tree_map(
+            lambda c: jnp.take(c, flat_parent, axis=0), cache)
+        toks = jnp.take(toks, flat_parent, axis=0)
+        toks = toks.at[:, i].set(token_flat)
+
+        logits, cache, length = module.apply(
+            params, token_flat, cache, length, method=type(module).decode_step)
+        return (logits, cache, length, top_scores.reshape(-1), toks), None
+
+    toks0 = jnp.zeros((b * w, max_new_tokens), jnp.int32)
+    (logits, cache, length, scores, toks), _ = jax.lax.scan(
+        step, (logits, cache, length, beam_scores, toks0),
+        jnp.arange(max_new_tokens))
+
+    scores = scores.reshape(b, w)
+    if length_normalize:
+        scores = scores / max_new_tokens
+    best = jnp.argmax(scores, axis=-1)                     # [B]
+    toks = toks.reshape(b, w, max_new_tokens)
+    return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
+            jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
+                                             "beam_width", "topk"))
+def sampled_beam_search(module, params, idx0, prefix, rng, *,
+                        max_new_tokens: int, beam_width: int = 5,
+                        topk: int = 20, temperature: float = 1.0):
+    """Stochastic beam search: each beam samples ``beam_width`` candidates
+    from its top-k distribution, the global best W survive — the behavior of
+    reference:gpt2_model.py:355-412, vectorized and cached.
+    """
+    b, t0 = idx0.shape
+    w = beam_width
+    rep = lambda x: jnp.repeat(x, w, axis=0) if x is not None else None
+    max_len = (t0 + (prefix.shape[1] if prefix is not None else 0)
+               + max_new_tokens + 1)
+    logits, cache, length = _prefill_args(module, params, rep(idx0),
+                                          rep(prefix), max_len)
+    vocab = logits.shape[-1]
+    beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (w - 1)), (b,))
+
+    def step(carry, sr):
+        i, r = sr
+        logits, cache, length, scores, toks = carry
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature,
+                                  axis=-1)                 # [B*W, V]
+        top_logp, top_tok = jax.lax.top_k(logp, topk)      # [B*W, K]
+
+        # sample W candidates per beam WITHOUT replacement (Gumbel top-k)
+        g = jax.random.gumbel(r, top_logp.shape)
+        pick = jax.lax.top_k(top_logp + g, w)[1]           # [B*W, W] idx into K
+        cand_logp = jnp.take_along_axis(top_logp, pick, axis=-1)
+        cand_tok = jnp.take_along_axis(top_tok, pick, axis=-1)
+
+        total = scores[:, None] + cand_logp               # [B*W, W]
+        total = total.reshape(b, w * w)
+        top_scores, top_idx = jax.lax.top_k(total, w)      # [B, W]
+        parent = top_idx // w
+        flat_parent = (jnp.arange(b)[:, None] * w + parent).reshape(-1)
+        token_flat = jnp.take_along_axis(cand_tok.reshape(b, w * w),
+                                         top_idx, axis=-1).reshape(-1)
+
+        cache = jax.tree_util.tree_map(
+            lambda c: jnp.take(c, flat_parent, axis=0), cache)
+        toks = jnp.take(toks, flat_parent, axis=0)
+        toks = toks.at[:, i].set(token_flat)
+
+        logits, cache, length = module.apply(
+            params, token_flat, cache, length, method=type(module).decode_step)
+        return (logits, cache, length, top_scores.reshape(-1), toks), None
+
+    toks0 = jnp.zeros((b * w, max_new_tokens), jnp.int32)
+    rngs = jax.random.split(rng, max_new_tokens)
+    (logits, cache, length, scores, toks), _ = jax.lax.scan(
+        step, (logits, cache, length, beam_scores, toks0),
+        (jnp.arange(max_new_tokens), rngs))
+
+    scores = scores.reshape(b, w)
+    best = jnp.argmax(scores, axis=-1)
+    toks = toks.reshape(b, w, max_new_tokens)
+    return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
+            jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
+
+
+def trim_at_eot(tokens, eot_id: int):
+    """Host-side: cut each row at the first eot (intended behavior of the
+    reference's broken Franky.generate, franky_baseline_gpt2.ipynb cell 4)."""
+    import numpy as np
+    out = []
+    for row in np.asarray(tokens):
+        stops = np.where(row == eot_id)[0]
+        out.append(list(row[: stops[0]] if len(stops) else row))
+    return out

@@ -1,0 +1,127 @@
+"""Decode stack: KV-cached sampling vs full re-forward, greedy==beam(1),
+beam monotonicity, eot trimming, WER, submission writer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frankenstein_tpu.config import GPTConfig
+from frankenstein_tpu.decode import sampling
+from frankenstein_tpu.eval import submission, wer
+from frankenstein_tpu.models import gpt2
+
+
+@pytest.fixture(scope="module")
+def tiny_gpt():
+    cfg = GPTConfig(block_size=64, vocab_size=48, n_layer=2, n_head=2,
+                    n_embd=16)
+    model = gpt2.GPT(cfg)
+    idx = jnp.zeros((1, 1), jnp.int32)
+    params = model.init(jax.random.key(0), idx)
+    return model, params, cfg
+
+
+def reference_greedy(model, params, idx0, prefix, steps):
+    """The reference's O(T^2) scheme: full re-forward per token
+    (reference:gpt2_model.py:328-353), greedy."""
+    idx = idx0
+    for _ in range(steps):
+        _, logits = model.apply(params, idx, prefix=prefix)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        idx = jnp.concatenate([idx, nxt[:, None]], axis=1)
+    return idx[:, idx0.shape[1]:]
+
+
+def test_generate_greedy_matches_reference_scheme(tiny_gpt):
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 2)))
+    prefix = jnp.asarray(rng.standard_normal((2, 3, cfg.n_embd)), jnp.float32)
+    ours = sampling.generate(model, params, idx0, prefix, jax.random.key(1),
+                             max_new_tokens=7, greedy=True)
+    ref = reference_greedy(model, params, idx0, prefix, 7)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_generate_topk_respects_k(tiny_gpt):
+    model, params, cfg = tiny_gpt
+    idx0 = jnp.zeros((4, 1), jnp.int32)
+    toks = sampling.generate(model, params, idx0, None, jax.random.key(2),
+                             max_new_tokens=5, top_k=1)
+    # top_k=1 == greedy
+    greedy = sampling.generate(model, params, idx0, None, jax.random.key(3),
+                               max_new_tokens=5, greedy=True)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(greedy))
+
+
+def test_beam1_equals_greedy(tiny_gpt):
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(1)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 1)))
+    prefix = jnp.asarray(rng.standard_normal((2, 2, cfg.n_embd)), jnp.float32)
+    beam_toks, _ = sampling.beam_search(model, params, idx0, prefix,
+                                        max_new_tokens=6, beam_width=1)
+    greedy = sampling.generate(model, params, idx0, prefix, jax.random.key(0),
+                               max_new_tokens=6, greedy=True)
+    np.testing.assert_array_equal(np.asarray(beam_toks), np.asarray(greedy))
+
+
+def test_beam_score_not_worse_than_greedy(tiny_gpt):
+    """Wider beams find sequences with >= log-prob."""
+    model, params, cfg = tiny_gpt
+
+    def seq_logprob(tokens, idx0, prefix):
+        idx = jnp.concatenate([idx0, tokens], axis=1)
+        _, logits = model.apply(params, idx, prefix=prefix,
+                                targets=jnp.zeros_like(idx))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tot = 0.0
+        for t in range(tokens.shape[1]):
+            tot += float(logp[0, idx0.shape[1] - 1 + t, int(tokens[0, t])])
+        return tot
+
+    rng = np.random.default_rng(2)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 1)))
+    prefix = jnp.asarray(rng.standard_normal((1, 2, cfg.n_embd)), jnp.float32)
+    b1, s1 = sampling.beam_search(model, params, idx0, prefix,
+                                  max_new_tokens=5, beam_width=1)
+    b4, s4 = sampling.beam_search(model, params, idx0, prefix,
+                                  max_new_tokens=5, beam_width=4)
+    assert float(s4[0]) >= float(s1[0]) - 1e-5
+    # reported scores must equal the actual sequence log-prob
+    np.testing.assert_allclose(seq_logprob(b4, idx0, prefix), float(s4[0]),
+                               atol=1e-3)
+
+
+def test_sampled_beam_runs(tiny_gpt):
+    model, params, cfg = tiny_gpt
+    idx0 = jnp.zeros((2, 1), jnp.int32)
+    toks, scores = sampling.sampled_beam_search(
+        model, params, idx0, None, jax.random.key(5),
+        max_new_tokens=4, beam_width=3, topk=8)
+    assert toks.shape == (2, 4)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_trim_at_eot():
+    toks = np.asarray([[1, 2, 9, 4], [5, 6, 7, 8]])
+    out = sampling.trim_at_eot(toks, eot_id=9)
+    assert out[0] == [1, 2]
+    assert out[1] == [5, 6, 7, 8]
+
+
+def test_wer():
+    assert wer.sentence_wer("a b c", "a b c") == 0.0
+    assert wer.sentence_wer("a b c", "a x c") == pytest.approx(1 / 3)
+    assert wer.sentence_wer("a b c", "a b") == pytest.approx(1 / 3)
+    assert wer.sentence_wer("a b", "a x b y") == pytest.approx(1.0)
+    # corpus aggregation weights by reference length
+    assert wer.corpus_wer(["a b c", "d"], ["a b c", "x"]) == pytest.approx(1 / 4)
+
+
+def test_submission_writer(tmp_path):
+    p = submission.create_string_file(
+        tmp_path / "sub.txt", ["Hello, World!", "It's me."])
+    lines = p.read_text().strip().split("\n")
+    assert lines == ["hello world", "it's me"]
