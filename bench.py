@@ -1,6 +1,8 @@
-"""Headline benchmark: KV-cached decode throughput (sentences/sec/chip) on the
-flagship Franky model, vs the reference's no-cache decode scheme on the SAME
-hardware.
+"""Headline benchmark: end-to-end brain-to-text decode throughput
+(sentences/sec/chip) on the flagship Franky model — 768x256 window through the
+6144-token slab-attention encoder, 32-vector prefix, GPT-2 124M, 25 tokens of
+KV-cached top-k sampling — vs the reference's no-cache decode scheme on the
+SAME hardware.
 
 The reference generates each of its <=25 tokens by re-forwarding the entire
 prefix+sequence with no KV cache (reference:models/gpt2_model.py:328-353).
@@ -8,15 +10,38 @@ prefix+sequence with no KV cache (reference:models/gpt2_model.py:328-353).
 (same chip, same batch, same model) — an apples-to-apples algorithmic
 comparison, since the reference publishes no numbers of its own (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": "decode_throughput", "value": N, "unit": "sentences/sec/chip",
-   "vs_baseline": R, ...}
+Methodology notes (this harness runs through an async remote-TPU tunnel):
+- inputs are generated ON DEVICE from a per-iteration key (host->device
+  transfer would otherwise dominate and memoized dispatches would lie);
+- iterations run inside one jitted fori_loop with a data dependence, and
+  timing brackets a VALUE FETCH (block_until_ready does not actually block
+  under this tunnel).
+
+Prints ONE JSON line.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def _bench(fn, n_iters, key0=100):
+    """Time fn(key) over n_iters on-device iterations; returns seconds/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(key):
+        def body(i, acc):
+            out = fn(jax.random.fold_in(key, i))
+            return acc + jnp.sum(out.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n_iters, body, 0.0)
+
+    float(run(jax.random.key(key0)))          # compile + warm
+    t0 = time.perf_counter()
+    float(run(jax.random.key(key0 + 1)))      # value fetch = real sync
+    return (time.perf_counter() - t0) / n_iters
 
 
 def main():
@@ -26,73 +51,55 @@ def main():
     import __graft_entry__ as g
     from frankenstein_tpu.config import GPT2_EOT
     from frankenstein_tpu.decode import sampling
-    from frankenstein_tpu.models import gpt2
 
     model, cfg = g._flagship()
-    batch = 32
+    batch = 128
     max_new = cfg.max_tokens  # 25
+    shape = (batch, cfg.brain.encoder.window_size, cfg.brain.encoder.n_electrodes)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(
-        (batch, cfg.brain.encoder.window_size,
-         cfg.brain.encoder.n_electrodes)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 50257, (batch, max_new)), jnp.int32)
-
-    params = jax.jit(lambda: model.init(jax.random.key(0), x[:1], y[:1]))()
+    x1 = jnp.zeros((1,) + shape[1:], jnp.float32)
+    y1 = jnp.zeros((1, max_new), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
 
-    # ---- ours: encode once, prefill, KV-cached scan --------------------------
-    def cached_decode(params, x, rng):
+    # ---- ours: encode once, prefill, KV-cached scan -------------------------
+    def cached_decode(key):
+        x = jax.random.normal(key, shape, jnp.float32)
         prefix = model.apply(params, x, method=type(model).encode)
-        return sampling.generate(model, params, idx0, prefix, rng,
+        return sampling.generate(model, params, idx0, prefix, key,
                                  max_new_tokens=max_new, top_k=10)
 
-    cached = jax.jit(cached_decode)
-    toks = cached(params, x, jax.random.key(1))
-    toks.block_until_ready()                     # compile
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        toks = cached(params, x, jax.random.key(i))
-    toks.block_until_ready()
-    cached_s = (time.perf_counter() - t0) / n_iters
+    cached_s = _bench(cached_decode, 5)
     ours = batch / cached_s
 
-    # ---- reference scheme: full re-forward per token, no cache ---------------
-    # (fixed full length per step — matches the reference's final-step cost,
-    # a LOWER bound on its total cost, so the reported speedup is conservative)
-    def nocache_decode(params, x, rng):
+    # ---- reference scheme: full re-forward per token, no cache --------------
+    # (fixed full length per step — the reference's final-step cost, a LOWER
+    # bound on its growing-length total, so the speedup is conservative)
+    def llm_full(m, idx, prefix, targets):
+        return m.llm_model(idx, prefix=prefix, targets=targets)
+
+    def nocache_decode(key):
+        x = jax.random.normal(key, shape, jnp.float32)
         prefix = model.apply(params, x, method=type(model).encode)
         idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
 
-        def llm_full(m, idx, prefix, targets):
-            return m.llm_model(idx, prefix=prefix, targets=targets)
-
-        def step(carry, sr):
+        def step(carry, r):
             idx, pos = carry
-            r = sr
             _, logits = model.apply(params, idx, prefix,
                                     jnp.zeros_like(idx), method=llm_full)
-            logits = logits[:, -1] / 1.0
+            logits = logits[:, -1]
             kth = jax.lax.top_k(logits, 10)[0][..., -1:]
             logits = jnp.where(logits < kth, -1e30, logits)
             tok = jax.random.categorical(r, logits, axis=-1)
-            idx = jax.lax.dynamic_update_slice(idx, tok[:, None], (0, pos))
+            idx = jax.lax.dynamic_update_slice(idx, tok[:, None].astype(idx.dtype),
+                                               (0, pos))
             return (idx, pos + 1), tok
 
-        rngs = jax.random.split(rng, max_new)
+        rngs = jax.random.split(key, max_new)
         (idx, _), toks = jax.lax.scan(step, (idx, jnp.int32(1)), rngs)
         return jnp.transpose(toks)
 
-    nocache = jax.jit(nocache_decode)
-    toks_b = nocache(params, x, jax.random.key(1))
-    toks_b.block_until_ready()
-    n_iters_b = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters_b):
-        toks_b = nocache(params, x, jax.random.key(i))
-    toks_b.block_until_ready()
-    nocache_s = (time.perf_counter() - t0) / n_iters_b
+    nocache_s = _bench(nocache_decode, 2)
     baseline = batch / nocache_s
 
     print(json.dumps({

@@ -1,0 +1,136 @@
+"""Whisper path: seq2seq shapes/loss, cached decode == full decode, HF weight
+import parity (random weights, offline), data prep geometry, SimpleMAE."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frankenstein_tpu.config import (SimpleEncoderConfig, SimpleMAEConfig,
+                                     WhisperConfig)
+from frankenstein_tpu.data import whisper_prep
+from frankenstein_tpu.models import whisper
+from frankenstein_tpu.models.simple_mae import SimpleMAE
+
+
+def tiny_cfg():
+    return WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=16,
+                         n_audio_head=2, n_audio_layer=2, n_vocab=64,
+                         n_text_ctx=16, n_text_state=16, n_text_head=2,
+                         n_text_layer=2)
+
+
+@pytest.fixture(scope="module")
+def tiny_whisper():
+    cfg = tiny_cfg()
+    model = whisper.BrainWhisper(cfg)
+    mel = jnp.zeros((2, cfg.n_mels, 32))
+    labels = jnp.zeros((2, 6), jnp.int32)
+    params = model.init(jax.random.key(0), mel, labels)
+    return model, params, cfg
+
+
+def test_seq2seq_loss_and_shapes(tiny_whisper):
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 32)), jnp.float32)
+    labels = np.asarray(rng.integers(0, cfg.n_vocab, (2, 6)))
+    labels[:, 4:] = -100
+    loss, logits = model.apply(params, mel, jnp.asarray(labels))
+    assert logits.shape == (2, 6, cfg.n_vocab)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: model.apply(p, mel, jnp.asarray(labels))[0])(params)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_cached_decode_matches_full(tiny_whisper):
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 32)), jnp.float32)
+    tok0 = jnp.full((2, 1), 3, jnp.int32)
+
+    # full re-forward greedy
+    enc = model.apply(params, mel, method=whisper.BrainWhisper.encode)
+    toks = tok0
+    for _ in range(5):
+        logits = model.apply(params, toks, enc,
+                             method=whisper.BrainWhisper.decode)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        toks = jnp.concatenate([toks, nxt[:, None]], axis=1)
+
+    # cached greedy
+    cache = whisper.init_whisper_cache(cfg, 2, 16)
+    logits, cache2, length = model.apply(params, tok0, mel, cache,
+                                         method=whisper.BrainWhisper.prefill)
+    got = [jnp.argmax(logits, -1).astype(jnp.int32)]
+    for _ in range(4):
+        logits, cache2, length = model.apply(
+            params, got[-1], cache2, length,
+            method=whisper.BrainWhisper.decode_step)
+        got.append(jnp.argmax(logits, -1).astype(jnp.int32))
+    got = np.stack([np.asarray(t) for t in got], axis=1)
+    np.testing.assert_array_equal(got, np.asarray(toks[:, 1:]))
+
+
+def test_hf_whisper_import_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFWC
+    from transformers import WhisperForConditionalGeneration
+    hf_cfg = HFWC(vocab_size=64, num_mel_bins=8, d_model=16,
+                  encoder_layers=2, encoder_attention_heads=2,
+                  decoder_layers=2, decoder_attention_heads=2,
+                  decoder_ffn_dim=64, encoder_ffn_dim=64,
+                  max_source_positions=16, max_target_positions=16,
+                  pad_token_id=0, bos_token_id=1, eos_token_id=2,
+                  decoder_start_token_id=3)
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    params, cfg = whisper.params_from_hf_whisper(hf)
+    model = whisper.BrainWhisper(cfg)
+
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 8, 32)).astype(np.float32)
+    dec_ids = rng.integers(0, 64, (1, 5))
+
+    with torch.no_grad():
+        ref = hf(input_features=torch.tensor(mel),
+                 decoder_input_ids=torch.tensor(dec_ids)).logits.numpy()
+    _, ours = model.apply(params, jnp.asarray(mel),
+                          decoder_input_ids=jnp.asarray(dec_ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+
+def test_whisper_prep_geometry():
+    rng = np.random.default_rng(3)
+    brains = [rng.standard_normal((t, 300)).astype(np.float32)
+              for t in (100, 200)]
+    mean, comps = whisper_prep.fit_pca(brains, n_voltage_ch=256)
+    assert comps.shape[1] == 256
+    arr = whisper_prep.prepare_brain_data_for_whisper(
+        brains, mean, comps, n_components=16, pad_length=500)
+    assert arr.shape == (2, 16, 500)
+    # 2x resample: trial of 100 steps fills 200 frames, rest zero
+    assert np.abs(arr[0, :, :200]).sum() > 0
+    assert np.abs(arr[0, :, 200:]).sum() == 0
+
+
+def test_simple_mae_forward():
+    """Reference smoke: x = ones(3, 768, 128) -> loss, recon, mask
+    (reference:notebooks/simple_mae.ipynb cell 3), scaled down."""
+    ec = SimpleEncoderConfig(block_size=16, patch_size=8, dim=16, n_layers=1,
+                             head_dim=8, hidden_dim=32, n_heads=2, n_kv_heads=2)
+    dc = SimpleMAEConfig(dim=16, n_layers=1, head_dim=8, hidden_dim=32,
+                         n_heads=2, n_kv_heads=2)
+    model = SimpleMAE(ec, dc)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 16, 8)).astype(np.float32)
+    x[0, 12:] = 0.0   # padded tail
+    x = jnp.asarray(x)
+    params = model.init({"params": jax.random.key(0), "mask": jax.random.key(1)}, x)
+    loss, recon, binary = model.apply(params, x, return_preds=True,
+                                      rngs={"mask": jax.random.key(2)})
+    assert np.isfinite(float(loss))
+    assert recon.shape == x.shape and binary.shape == x.shape
+    frac = float(jnp.mean(binary))
+    assert abs(frac - 0.75) < 0.1
