@@ -27,20 +27,19 @@ import numpy as np
 
 
 def _bench(fn, n_iters, key0=100):
-    """Time fn(key) over n_iters on-device iterations; returns seconds/iter."""
+    """Time fn(key) over n_iters dispatches; returns seconds/iter.
+
+    Sync is a VALUE FETCH of a scalar reduction (block_until_ready does not
+    actually block under the remote tunnel); each call gets a fresh key so no
+    dispatch can be served from a memo."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(key):
-        def body(i, acc):
-            out = fn(jax.random.fold_in(key, i))
-            return acc + jnp.sum(out.astype(jnp.float32))
-        return jax.lax.fori_loop(0, n_iters, body, 0.0)
-
+    run = jax.jit(lambda key: jnp.sum(fn(key).astype(jnp.float32)))
     float(run(jax.random.key(key0)))          # compile + warm
     t0 = time.perf_counter()
-    float(run(jax.random.key(key0 + 1)))      # value fetch = real sync
+    for i in range(n_iters):
+        v = float(run(jax.random.key(key0 + 1 + i)))
     return (time.perf_counter() - t0) / n_iters
 
 
