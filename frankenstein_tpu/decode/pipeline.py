@@ -1,0 +1,49 @@
+"""High-level brain->text prediction pipeline: signal window in, sentence out.
+
+Implements the intended behavior of the reference's broken ``Franky.generate``
+(reference:notebooks_trainer/franky_baseline_gpt2.ipynb cell 4: seeds with
+<|endoftext|>, samples up to 25 tokens with top-k 10, trims at the stop
+token) on the KV-cached decode stack, plus a beam-search variant, batched.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frankenstein_tpu.config import GPT2_EOT
+from frankenstein_tpu.decode import sampling
+
+
+def make_franky_predictor(model, params, tokenizer, *,
+                          max_new_tokens: int = 25,
+                          temperature: float = 1.0,
+                          top_k: Optional[int] = 10,
+                          beam_width: int = 0,
+                          eot_id: int = GPT2_EOT,
+                          seed: int = 0) -> Callable:
+    """Returns predict_fn(xs [B, T, C]) -> list[str] (length B)."""
+    counter = {"n": 0}
+
+    def predict(xs) -> List[str]:
+        b = xs.shape[0]
+        x = jnp.asarray(xs, jnp.float32)
+        prefix = model.apply(params, x, method=type(model).encode)
+        idx0 = jnp.full((b, 1), eot_id, jnp.int32)
+        counter["n"] += 1
+        rng = jax.random.fold_in(jax.random.key(seed), counter["n"])
+        if beam_width > 1:
+            toks, _ = sampling.beam_search(model, params, idx0, prefix,
+                                           max_new_tokens=max_new_tokens,
+                                           beam_width=beam_width)
+        else:
+            toks = sampling.generate(model, params, idx0, prefix, rng,
+                                     max_new_tokens=max_new_tokens,
+                                     temperature=temperature, top_k=top_k)
+        trimmed = sampling.trim_at_eot(toks, eot_id)
+        return [tokenizer.decode(t, skip_special_tokens=True) for t in trimmed]
+
+    return predict

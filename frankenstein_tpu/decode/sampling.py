@@ -31,6 +31,15 @@ from frankenstein_tpu.models import gpt2
 NEG_INF = -1e30
 
 
+def _reorder(module, cache, flat_idx):
+    """Gather cache rows to the surviving-beam order; the module owns its
+    cache layout (GPT stacks layers at axis 0, batch at axis 1)."""
+    reorder = getattr(type(module), "reorder_cache", None)
+    if reorder is not None:
+        return reorder(cache, flat_idx)
+    return jax.tree_util.tree_map(lambda c: jnp.take(c, flat_idx, axis=0), cache)
+
+
 def _topk_filter(logits: jnp.ndarray, k: Optional[int]) -> jnp.ndarray:
     """Keep top-k logits, set the rest to -inf (reference:gpt2_model.py:343-345)."""
     if k is None or k >= logits.shape[-1]:
@@ -118,8 +127,7 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
         token_flat = token.reshape(-1)
 
         # reorder cache + token history to the surviving beams
-        cache = jax.tree_util.tree_map(
-            lambda c: jnp.take(c, flat_parent, axis=0), cache)
+        cache = _reorder(module, cache, flat_parent)
         toks = jnp.take(toks, flat_parent, axis=0)
         toks = toks.at[:, i].set(token_flat)
 
@@ -181,8 +189,7 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
         token_flat = jnp.take_along_axis(cand_tok.reshape(b, w * w),
                                          top_idx, axis=-1).reshape(-1)
 
-        cache = jax.tree_util.tree_map(
-            lambda c: jnp.take(c, flat_parent, axis=0), cache)
+        cache = _reorder(module, cache, flat_parent)
         toks = jnp.take(toks, flat_parent, axis=0)
         toks = toks.at[:, i].set(token_flat)
 

@@ -50,3 +50,7 @@ class Franky(nn.Module):
 
     def decode_step(self, token, cache, length):
         return self.llm_model.decode_step(token, cache, length)
+
+    @staticmethod
+    def reorder_cache(cache, flat_idx):
+        return GPT.reorder_cache(cache, flat_idx)

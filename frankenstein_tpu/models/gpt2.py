@@ -5,10 +5,17 @@ Re-designs reference:models/gpt2_model.py (a nanoGPT fork):
   vectors before the token embeddings, adds learned absolute positions over
   the FULL (prefix+text) length, and computes the shifted CE loss over text
   positions only, ignoring -100 (reference:gpt2_model.py:178-216).
-- HF checkpoint import (Conv1D transposes) lives in models/gpt2_import.py.
+- HF checkpoint import (Conv1D layouts) lives in models/gpt2_import.py.
 - Decode uses a fixed-shape KV cache (``init_cache`` / ``prefill`` /
   ``decode_step``) — the reference has NO working cache and re-forwards the
   whole sequence per generated token (reference:gpt2_model.py:328-353).
+
+TPU-first structure: the 12 blocks are ONE ``nn.scan`` over stacked layer
+parameters ([L, ...] leading axis) — one traced block instead of 12 unrolled
+copies, which keeps compile time and program size flat in depth. Full
+training forward and cached decode share the same scanned path: a full
+forward is just a prefill whose cache length equals the sequence length
+(identical causal math, verified in tests).
 
 Weight tying: ``wte`` doubles as the LM head (reference:gpt2_model.py:138).
 """
@@ -32,59 +39,6 @@ def _dense(feats, use_bias, dtype, name, kernel_init=None):
                     bias_init=nn.initializers.zeros, name=name)
 
 
-class GPTBlock(nn.Module):
-    cfg: GPTConfig
-    dtype: Any = jnp.float32
-
-    def setup(self):
-        c = self.cfg
-        # special scaled init on residual projections (reference:gpt2_model.py:142-145)
-        proj_init = nn.initializers.normal(0.02 / (2 * c.n_layer) ** 0.5)
-        self.ln_1 = _LN(c.n_embd, c.bias, name="ln_1")
-        self.c_attn = _dense(3 * c.n_embd, c.bias, self.dtype, "c_attn")
-        self.attn_proj = _dense(c.n_embd, c.bias, self.dtype, "c_proj", proj_init)
-        self.ln_2 = _LN(c.n_embd, c.bias, name="ln_2")
-        self.c_fc = _dense(4 * c.n_embd, c.bias, self.dtype, "c_fc")
-        self.mlp_proj = _dense(c.n_embd, c.bias, self.dtype, "mlp_c_proj", proj_init)
-
-    def _qkv(self, x):
-        c = self.cfg
-        b, t, _ = x.shape
-        qkv = self.c_attn(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        shape = (b, t, c.n_head, c.head_dim)
-        return q.reshape(shape), k.reshape(shape), v.reshape(shape)
-
-    def _mlp(self, x):
-        return self.mlp_proj(nn.gelu(self.c_fc(x), approximate=False))
-
-    def __call__(self, x):
-        q, k, v = self._qkv(self.ln_1(x))
-        y = attn_ops.dot_product_attention(q, k, v, mask_mode="causal")
-        y = self.attn_proj(y.reshape(x.shape))
-        x = x + y
-        return x + self._mlp(self.ln_2(x))
-
-    def cached(self, x, k_cache, v_cache, length):
-        """Forward T new positions whose K/V are appended to the cache.
-
-        ``length`` counts entries already present; the new segment is written
-        at [length, length+T) and query row i attends j < length + 1 + i
-        (its own key included).
-        """
-        b, t, _ = x.shape
-        q, k, v = self._qkv(self.ln_1(x))
-        start = length  # scalar int32: entries already in the cache
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
-                                               (0, start, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
-                                               (0, start, 0, 0))
-        y = attn_ops.cached_attention(q, k_cache, v_cache, length + 1)
-        y = self.attn_proj(y.reshape(x.shape))
-        x = x + y
-        return x + self._mlp(self.ln_2(x)), k_cache, v_cache
-
-
 class _LN(nn.Module):
     dim: int
     use_bias: bool = True
@@ -97,6 +51,44 @@ class _LN(nn.Module):
         return norms.layer_norm(x, w, b, eps=1e-5)  # GPT-2 eps (reference:gpt2_model.py:27)
 
 
+class GPTBlock(nn.Module):
+    """One pre-LN block, written scan-compatible:
+    ``(carry, per-layer cache) -> (carry, updated cache)``."""
+
+    cfg: GPTConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, layer_cache):
+        c = self.cfg
+        x, length = carry
+        k_cache, v_cache = layer_cache
+        b, t, _ = x.shape
+
+        proj_init = nn.initializers.normal(0.02 / (2 * c.n_layer) ** 0.5)
+        h = _LN(c.n_embd, c.bias, name="ln_1")(x)
+        qkv = _dense(3 * c.n_embd, c.bias, self.dtype, "c_attn")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (b, t, c.n_head, c.head_dim)
+        q, k, v = q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+        # append this segment's K/V at [length, length+t)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
+        y = attn_ops.cached_attention(q, k_cache, v_cache, length + 1)
+        y = _dense(c.n_embd, c.bias, self.dtype, "c_proj", proj_init)(
+            y.reshape(b, t, c.n_embd))
+        x = x + y
+
+        h = _LN(c.n_embd, c.bias, name="ln_2")(x)
+        h = nn.gelu(_dense(4 * c.n_embd, c.bias, self.dtype, "c_fc")(h),
+                    approximate=False)
+        x = x + _dense(c.n_embd, c.bias, self.dtype, "mlp_c_proj", proj_init)(h)
+        return (x, length), (k_cache, v_cache)
+
+
 class GPT(nn.Module):
     cfg: GPTConfig
     dtype: Any = jnp.float32
@@ -107,8 +99,13 @@ class GPT(nn.Module):
                               (c.vocab_size, c.n_embd), jnp.float32)
         self.wpe = self.param("wpe", nn.initializers.normal(0.02),
                               (c.block_size, c.n_embd), jnp.float32)
-        self.h = [GPTBlock(c, dtype=self.dtype, name=f"h_{i}")
-                  for i in range(c.n_layer)]
+        self.h = nn.scan(
+            GPTBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.n_layer,
+            in_axes=0, out_axes=0,
+        )(c, self.dtype, name="h")
         self.ln_f = _LN(c.n_embd, c.bias, name="ln_f")
 
     def _lm_head(self, x):
@@ -124,6 +121,10 @@ class GPT(nn.Module):
         pos_emb = self.wpe[:t_full].astype(self.dtype)
         return tok_emb + pos_emb[None]
 
+    def _run_blocks(self, x, cache, length):
+        (x, _), cache = self.h((x, length), cache)
+        return x, cache
+
     def __call__(self, idx, prefix=None, targets=None):
         """Full forward. idx: [B, Tw] int32; prefix: [B, Tc, n_embd] or None.
 
@@ -133,8 +134,8 @@ class GPT(nn.Module):
         """
         t_words = idx.shape[1]
         x = self._embed(idx, prefix)
-        for block in self.h:
-            x = block(x)
+        cache = init_cache(self.cfg, x.shape[0], x.shape[1], dtype=self.dtype)
+        x, _ = self._run_blocks(x, cache, jnp.int32(0))
         x = x[:, -t_words:]
         x = self.ln_f(x)
 
@@ -150,37 +151,30 @@ class GPT(nn.Module):
     def prefill(self, idx, prefix, cache):
         """Run the prefix + initial tokens once, filling the cache.
 
-        Returns (logits_last [B, vocab], cache, length).
-        """
-        ks, vs = cache
+        Returns (logits_last [B, vocab], cache, length)."""
         x = self._embed(idx, prefix)
-        length = jnp.int32(0)
-        new_ks, new_vs = [], []
-        for i, block in enumerate(self.h):
-            x, k, v = block.cached(x, ks[i], vs[i], length)
-            new_ks.append(k)
-            new_vs.append(v)
+        x, cache = self._run_blocks(x, cache, jnp.int32(0))
         x = self.ln_f(x[:, -1:])
         logits = self._lm_head(x)[:, 0]
-        return logits, (new_ks, new_vs), jnp.int32(x_len(idx, prefix))
+        return logits, cache, jnp.int32(x_len(idx, prefix))
 
     def decode_step(self, token, cache, length):
         """One decode step. token: [B] int32 at absolute position ``length``.
 
-        Returns (logits [B, vocab], cache, length+1).
-        """
-        ks, vs = cache
+        Returns (logits [B, vocab], cache, length+1)."""
         tok_emb = jnp.take(self.wte, token[:, None], axis=0).astype(self.dtype)
         pos_emb = jax.lax.dynamic_slice_in_dim(self.wpe, length, 1).astype(self.dtype)
         x = tok_emb + pos_emb[None]
-        new_ks, new_vs = [], []
-        for i, block in enumerate(self.h):
-            x, k, v = block.cached(x, ks[i], vs[i], length)
-            new_ks.append(k)
-            new_vs.append(v)
+        x, cache = self._run_blocks(x, cache, length)
         x = self.ln_f(x)
         logits = self._lm_head(x)[:, 0]
-        return logits, (new_ks, new_vs), length + 1
+        return logits, cache, length + 1
+
+    @staticmethod
+    def reorder_cache(cache, flat_idx):
+        """Gather cache rows to new (beam) order; batch is axis 1 ([L, B, ...])."""
+        return jax.tree_util.tree_map(
+            lambda c: jnp.take(c, flat_idx, axis=1), cache)
 
 
 def x_len(idx, prefix):
@@ -188,16 +182,13 @@ def x_len(idx, prefix):
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.float32):
-    """Fixed-shape KV cache: ([L] x [B, S, H, D], [L] x [B, S, H, D])."""
-    shape = (batch, max_len, cfg.n_head, cfg.head_dim)
-    ks = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)]
-    vs = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)]
-    return ks, vs
+    """Fixed-shape stacked KV cache: ([L, B, S, H, D], [L, B, S, H, D])."""
+    shape = (cfg.n_layer, batch, max_len, cfg.n_head, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def cross_entropy_ignore(logits, targets, ignore_index: int = IGNORE_INDEX):
     """Mean CE over non-ignored positions (reference:gpt2_model.py:204-210)."""
-    vocab = logits.shape[-1]
     logits = logits.astype(jnp.float32)
     mask = targets != ignore_index
     safe_targets = jnp.where(mask, targets, 0)

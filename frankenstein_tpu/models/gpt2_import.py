@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Mapping
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from frankenstein_tpu.config import GPTConfig
@@ -71,16 +72,19 @@ def params_from_hf_state_dict(sd: Mapping[str, np.ndarray], cfg: GPTConfig) -> d
         return d
 
     e = cfg.n_embd
+    layers = []
     for i in range(cfg.n_layer):
         hp = f"h.{i}"
-        p[f"h_{i}"] = {
+        layers.append({
             "ln_1": ln(f"{hp}.ln_1"),
             "c_attn": dense(f"{hp}.attn.c_attn", e, 3 * e),
             "c_proj": dense(f"{hp}.attn.c_proj", e, e),
             "ln_2": ln(f"{hp}.ln_2"),
             "c_fc": dense(f"{hp}.mlp.c_fc", e, 4 * e),
             "mlp_c_proj": dense(f"{hp}.mlp.c_proj", 4 * e, e),
-        }
+        })
+    # stack per-layer trees along axis 0 (the model scans over layers)
+    p["h"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
     p["ln_f"] = ln("ln_f")
     return {"params": p}
 

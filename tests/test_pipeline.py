@@ -1,0 +1,69 @@
+"""End-to-end inference pipeline + streaming windows: the reference's
+generate->normalize->sub.txt chain, on tiny models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from frankenstein_tpu.config import (FrankyConfig, GPTConfig, MAEConfig,
+                                     PerceiverConfig)
+from frankenstein_tpu.data import tokenizers
+from frankenstein_tpu.decode import pipeline, streaming
+from frankenstein_tpu.eval import submission
+from frankenstein_tpu.models.franky import Franky
+
+
+def tiny_franky():
+    cfg = FrankyConfig(
+        brain=PerceiverConfig(
+            encoder=MAEConfig(window_size=32, n_electrodes=8, patch_size=8,
+                              dim=16, n_layers=1, head_dim=8, hidden_dim=32,
+                              n_heads=2, n_kv_heads=2, n_dec_layers=1,
+                              decoder_dim=16),
+            n_output_tokens=4, output_dim=24, dim=16, n_layers=1, head_dim=8,
+            hidden_dim=32, n_heads=2, n_kv_heads=2),
+        gpt=GPTConfig(block_size=32, vocab_size=300, n_layer=1, n_head=2,
+                      n_embd=24),
+        max_tokens=8, pad_token_id=299)
+    model = Franky(cfg)
+    x = jnp.ones((1, 32, 8))
+    y = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.key(0), x, y)
+    return model, params, cfg
+
+
+def test_predictor_to_submission(tmp_path):
+    model, params, cfg = tiny_franky()
+    tok = tokenizers.ByteTokenizer(eot_id=299)
+    predict = pipeline.make_franky_predictor(
+        model, params, tok, max_new_tokens=6, top_k=5, eot_id=299)
+    xs = np.random.default_rng(0).standard_normal((3, 32, 8)).astype(np.float32)
+    sents = predict(xs)
+    assert len(sents) == 3
+    assert all(isinstance(s, str) for s in sents)
+
+    p = submission.create_string_file(tmp_path / "sub.txt", sents)
+    assert len(p.read_text().splitlines()) == 3
+
+    # beam variant
+    predict_b = pipeline.make_franky_predictor(
+        model, params, tok, max_new_tokens=6, beam_width=2, eot_id=299)
+    sents_b = predict_b(xs)
+    assert len(sents_b) == 3
+
+
+def test_sliding_windows():
+    sig = np.arange(100 * 2, dtype=np.float32).reshape(100, 2)
+    ws = list(streaming.sliding_windows(sig, window_size=32, stride=8))
+    assert all(w.shape == (32, 2) for w in ws)
+    assert len(ws) == (100 - 32) // 8 + 1
+    np.testing.assert_array_equal(ws[1], sig[8:40])
+
+
+def test_stream_predict_batches():
+    model, params, cfg = tiny_franky()
+    sig = np.random.default_rng(1).standard_normal((100, 8)).astype(np.float32)
+    outs = streaming.stream_predict(model, params, sig, window_size=32,
+                                    stride=16, batch_windows=4)
+    assert len(outs) == (100 - 32) // 16 + 1
+    assert outs[0].shape == (4, 24)   # n_output_tokens x output_dim

@@ -86,7 +86,7 @@ def test_grad_accum_equivalence():
     p1 = jax.tree_util.tree_leaves(s1.params)
     p2 = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(p1, p2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_train_loop_franky_on_mesh(tmp_path):
