@@ -1,0 +1,262 @@
+"""LLaMA-family decoder LM: the north-star rescoring stage.
+
+The reference's roadmap is ``VQVAE -> MAE -> Perceiver -> LLAMA 3``
+(reference:README.md:19) but the LLaMA stage exists only as intent. This
+module implements it TPU-first:
+
+- standard LLaMA architecture (RMSNorm pre-norm, rotary GQA attention,
+  SwiGLU, tied-or-untied head), one ``nn.scan`` over stacked layers;
+- brain-prefix conditioning exactly like the GPT-2 path (soft prompt
+  vectors prepended to the token embeddings);
+- n-best RESCORING: score beam candidates under the LM and combine with the
+  decoder scores (``rescore_candidates``);
+- tensor parallelism via sharding RULES (parallel/sharding.py): column-split
+  q/k/v/gate/up projections, row-split o/down projections over the 'model'
+  mesh axis — XLA inserts the all-reduces over ICI;
+- HF ``LlamaForCausalLM`` import from a locally available state dict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from frankenstein_tpu.config import _SerializableMixin, IGNORE_INDEX
+from frankenstein_tpu.models.gpt2 import cross_entropy_ignore
+from frankenstein_tpu.ops import attention as attn_ops
+from frankenstein_tpu.ops import norms, rope as rope_ops
+
+
+@dataclass(frozen=True)
+class LlamaConfig(_SerializableMixin):
+    vocab_size: int = 128256        # llama-3 defaults
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    hidden_dim: int = 14336
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    max_seq_len: int = 8192
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+def tiny_llama_config(**kw) -> LlamaConfig:
+    base = dict(vocab_size=128, dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                hidden_dim=64, max_seq_len=64)
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+class _RMS(nn.Module):
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        return norms.rms_norm(x, w, self.eps)
+
+
+class LlamaBlock(nn.Module):
+    """Scan-compatible: (carry=(x, length, rope), layer_cache) -> same."""
+
+    cfg: LlamaConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, layer_cache):
+        c = self.cfg
+        x, length = carry
+        k_cache, v_cache = layer_cache
+        b, t, _ = x.shape
+        hd, nh, nkv = c.head_dim, c.n_heads, c.n_kv_heads
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.02), name=name)
+
+        h = _RMS(c.dim, c.norm_eps, name="input_norm")(x)
+        q = dense(nh * hd, "q_proj")(h).reshape(b, t, nh, hd)
+        k = dense(nkv * hd, "k_proj")(h).reshape(b, t, nkv, hd)
+        v = dense(nkv * hd, "v_proj")(h).reshape(b, t, nkv, hd)
+
+        # rotary at absolute positions [length, length+t)
+        cache_len = k_cache.shape[1]
+        rope_table = rope_ops.build_rope_cache(hd, cache_len, c.rope_theta)
+        pos = length + jnp.arange(t)
+        rope = rope_ops.rope_for_positions(rope_table, pos[None])
+        q = rope_ops.apply_rope(q, jnp.broadcast_to(rope, (b,) + rope.shape[1:]))
+        k = rope_ops.apply_rope(k, jnp.broadcast_to(rope, (b,) + rope.shape[1:]))
+
+        # GQA: repeat kv heads up to n_heads
+        if nkv != nh:
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
+        y = attn_ops.cached_attention(q, k_cache, v_cache, length + 1)
+        x = x + dense(c.dim, "o_proj")(y.reshape(b, t, nh * hd))
+
+        h = _RMS(c.dim, c.norm_eps, name="post_attn_norm")(x)
+        gate = nn.silu(dense(c.hidden_dim, "gate_proj")(h))
+        up = dense(c.hidden_dim, "up_proj")(h)
+        x = x + dense(c.dim, "down_proj")(gate * up)
+        return (x, length), (k_cache, v_cache)
+
+
+class Llama(nn.Module):
+    cfg: LlamaConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed = self.param("embed", nn.initializers.normal(0.02),
+                                (c.vocab_size, c.dim), jnp.float32)
+        if not c.tie_embeddings:
+            self.lm_head_w = self.param("lm_head", nn.initializers.normal(0.02),
+                                        (c.vocab_size, c.dim), jnp.float32)
+        self.layers = nn.scan(
+            LlamaBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.n_layers, in_axes=0, out_axes=0,
+        )(c, self.dtype, name="layers")
+        self.norm_f = _RMS(c.dim, c.norm_eps, name="norm_f")
+
+    def _head(self, x):
+        w = self.embed if self.cfg.tie_embeddings else self.lm_head_w
+        return jnp.einsum("btd,vd->btv", x, w.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+
+    def _embed_in(self, idx, prefix):
+        x = jnp.take(self.embed, idx, axis=0).astype(self.dtype)
+        if prefix is not None:
+            x = jnp.concatenate([prefix.astype(self.dtype), x], axis=1)
+        return x
+
+    def __call__(self, idx, prefix=None, targets=None):
+        """Same contract as the GPT-2 path (loss over text positions)."""
+        t_words = idx.shape[1]
+        x = self._embed_in(idx, prefix)
+        cache = init_llama_cache(self.cfg, x.shape[0], x.shape[1],
+                                 dtype=self.dtype)
+        (x, _), _ = self.layers((x, jnp.int32(0)), cache)
+        x = self.norm_f(x[:, -t_words:])
+        if targets is not None:
+            logits = self._head(x)
+            return cross_entropy_ignore(logits[:, :-1], targets[:, 1:]), logits
+        return None, self._head(x[:, -1:])
+
+    def sequence_logprob(self, idx, prefix=None,
+                         ignore_index: int = IGNORE_INDEX):
+        """Total log P(idx | prefix), ignoring -100 padding — the rescoring
+        primitive. idx: [B, T] with trailing -100 pads. Returns [B]."""
+        mask = idx != ignore_index
+        input_ids = jnp.where(mask, idx, 0)
+        _, logits = self(input_ids, prefix=prefix, targets=input_ids)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = input_ids[:, 1:]
+        tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(tok_lp * mask[:, 1:], axis=-1)
+
+    def prefill(self, idx, prefix, cache):
+        x = self._embed_in(idx, prefix)
+        (x, _), cache = self.layers((x, jnp.int32(0)), cache)
+        x = self.norm_f(x[:, -1:])
+        from frankenstein_tpu.models.gpt2 import x_len
+        return self._head(x)[:, 0], cache, jnp.int32(x_len(idx, prefix))
+
+    def decode_step(self, token, cache, length):
+        x = jnp.take(self.embed, token[:, None], axis=0).astype(self.dtype)
+        (x, _), cache = self.layers((x, length), cache)
+        x = self.norm_f(x)
+        return self._head(x)[:, 0], cache, length + 1
+
+    @staticmethod
+    def reorder_cache(cache, flat_idx):
+        return jax.tree_util.tree_map(
+            lambda c: jnp.take(c, flat_idx, axis=1), cache)
+
+
+def init_llama_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                     dtype=jnp.float32):
+    shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def rescore_candidates(module, params, candidates, decoder_scores=None,
+                       prefix=None, alpha: float = 0.5,
+                       length_normalize: bool = True):
+    """Rescore n-best beam outputs with the LM.
+
+    candidates: [B, N, T] token ids (pad with -100); decoder_scores: [B, N]
+    from the beam search; prefix: [B, P, dim] brain vectors projected into
+    the LM's embedding space, broadcast over candidates. Returns
+    (best_idx [B], combined [B, N]).
+    """
+    b, n, t = candidates.shape
+    flat = candidates.reshape(b * n, t)
+    pfx = (jnp.repeat(prefix, n, axis=0) if prefix is not None else None)
+    lm_scores = module.apply(params, flat, pfx,
+                             method=type(module).sequence_logprob)
+    lm_scores = lm_scores.reshape(b, n)
+    if length_normalize:
+        lengths = jnp.sum(candidates != IGNORE_INDEX, axis=-1)
+        lm_scores = lm_scores / jnp.maximum(lengths - 1, 1)
+    combined = lm_scores if decoder_scores is None else (
+        alpha * lm_scores + (1 - alpha) * decoder_scores)
+    return jnp.argmax(combined, axis=-1), combined
+
+
+def params_from_hf_llama(hf_model):
+    """Import transformers.LlamaForCausalLM weights (offline, local)."""
+    import numpy as np
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in hf_model.state_dict().items()}
+    hc = hf_model.config
+    cfg = LlamaConfig(
+        vocab_size=hc.vocab_size, dim=hc.hidden_size,
+        n_layers=hc.num_hidden_layers, n_heads=hc.num_attention_heads,
+        n_kv_heads=hc.num_key_value_heads, hidden_dim=hc.intermediate_size,
+        rope_theta=hc.rope_theta, norm_eps=hc.rms_norm_eps,
+        max_seq_len=hc.max_position_embeddings,
+        tie_embeddings=getattr(hc, "tie_word_embeddings", False))
+
+    def dense(name):
+        return {"kernel": jnp.asarray(sd[name].T)}
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}"
+        layers.append({
+            "input_norm": {"weight": jnp.asarray(sd[f"{pre}.input_layernorm.weight"])},
+            "q_proj": dense(f"{pre}.self_attn.q_proj.weight"),
+            "k_proj": dense(f"{pre}.self_attn.k_proj.weight"),
+            "v_proj": dense(f"{pre}.self_attn.v_proj.weight"),
+            "o_proj": dense(f"{pre}.self_attn.o_proj.weight"),
+            "post_attn_norm": {"weight": jnp.asarray(
+                sd[f"{pre}.post_attention_layernorm.weight"])},
+            "gate_proj": dense(f"{pre}.mlp.gate_proj.weight"),
+            "up_proj": dense(f"{pre}.mlp.up_proj.weight"),
+            "down_proj": dense(f"{pre}.mlp.down_proj.weight"),
+        })
+    p = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"]),
+        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers),
+        "norm_f": {"weight": jnp.asarray(sd["model.norm.weight"])},
+    }
+    if not cfg.tie_embeddings:
+        p["lm_head"] = jnp.asarray(sd["lm_head.weight"])
+    return {"params": p}, cfg

@@ -1,0 +1,70 @@
+"""Tensor-parallel sharding rules: param-path patterns -> PartitionSpecs.
+
+Megatron-style TP over the 'model' mesh axis: column-split the q/k/v (and
+gate/up, c_attn, c_fc) projections, row-split the output (o_proj, down_proj,
+c_proj) projections, split embedding/head tables on the vocab axis. XLA
+inserts the all-reduce over ICI after each row-parallel matmul at the pjit
+boundary — no hand-written collectives.
+
+Layer-scanned modules carry a leading [L] axis on every block param, so block
+rules target the last two dims.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+COL = "col"   # split output features: [.., in, out] -> P(..., None, 'model')
+ROW = "row"   # split input features:  [.., in, out] -> P(..., 'model', None)
+VOCAB = "vocab"  # split dim 0 of an embedding table
+
+# pattern (regex over '/'-joined path) -> rule
+LLAMA_TP_RULES: Sequence[Tuple[str, str]] = (
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", COL),
+    (r".*(o_proj|down_proj)/kernel$", ROW),
+    (r".*(embed|lm_head)$", VOCAB),
+)
+
+GPT2_TP_RULES: Sequence[Tuple[str, str]] = (
+    (r".*(c_attn|c_fc)/kernel$", COL),
+    (r".*(c_proj|mlp_c_proj)/kernel$", ROW),
+    (r".*wte$", VOCAB),
+)
+
+
+def spec_for(path: str, shape, rules) -> P:
+    for pattern, kind in rules:
+        if re.match(pattern, path):
+            ndim = len(shape)
+            if kind == COL:
+                return P(*([None] * (ndim - 1) + ["model"]))
+            if kind == ROW:
+                return P(*([None] * (ndim - 2) + ["model", None]))
+            if kind == VOCAB:
+                return P(*(["model"] + [None] * (ndim - 1)))
+    return P()  # replicate
+
+
+def shard_params(mesh: Mesh, params, rules=LLAMA_TP_RULES):
+    """device_put every param with its TP sharding (replicated over 'data')."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def place(path, x):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        spec = spec_for(name, x.shape, rules)
+        # guard: axis size must divide the sharded dim
+        msize = mesh.shape.get("model", 1)
+        for dim, ax in enumerate(spec):
+            if ax == "model" and x.shape[dim] % msize != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    leaves = {tuple(p): place(p, x) for p, x in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [leaves[tuple(p)] for p, _ in flat])
