@@ -96,6 +96,12 @@ class MAEConfig(_SerializableMixin):
     # MAE masking
     masking_ratio: float = 0.75
 
+    # optional per-session (recording day) conditioning: 0 = off.
+    # DATE_TO_INDEX exists in the reference but is never consumed by a model
+    # (reference:utils/data_utils.py:342, SURVEY.md §7 caveat) — here it is a
+    # real learned embedding when enabled.
+    n_sessions: int = 0
+
     @property
     def n_patches_per_channel(self) -> int:
         return self.window_size // self.patch_size

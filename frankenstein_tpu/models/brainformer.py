@@ -64,6 +64,10 @@ class Encoder(nn.Module):
         self.space_embedding = self.param(
             "space_embedding", nn.initializers.normal(1.0),
             (1, c.n_electrodes, c.dim), jnp.float32)
+        if c.n_sessions:
+            self.date_embedding = self.param(
+                "date_embedding", nn.initializers.normal(0.02),
+                (c.n_sessions, c.dim), jnp.float32)
         self.h = [Block(c.dim, c.n_heads, c.head_dim, c.hidden_dim,
                         norm="layernorm", dtype=self.dtype, name=f"h_{i}")
                   for i in range(c.n_layers)]
@@ -75,30 +79,35 @@ class Encoder(nn.Module):
         c = self.cfg
         return jnp.tile(self.space_embedding, (1, c.n_patches_per_channel, 1))
 
-    def embed_tokens(self, patches, positions=None):
+    def embed_tokens(self, patches, positions=None, date_info=None):
         x = self.emb(patches)
         space = self.spatial_pos_embedding().astype(x.dtype)
         if positions is None:
             x = x + space[:, -x.shape[1]:]
         else:
             x = x + jnp.take(space[0], positions, axis=0)
+        if self.cfg.n_sessions and date_info is not None:
+            date = jnp.take(self.date_embedding,
+                            jnp.asarray(date_info) % self.cfg.n_sessions,
+                            axis=0).astype(x.dtype)
+            x = x + date[:, None, :]
         return x
 
-    def __call__(self, x):
+    def __call__(self, x, date_info=None):
         """x: [B, T, C] signal -> [B, n_tokens, dim] context."""
         c = self.cfg
         patches = to_patches(x, c.patch_size)
-        tok = self.embed_tokens(patches)
+        tok = self.embed_tokens(patches, date_info=date_info)
         rope = rope_ops.build_rope_cache(c.head_dim, c.block_size, c.rope_theta)
         for block in self.h:
             tok = block(tok, mask_mode="slab", tok_per_time=c.n_electrodes,
                         rope=rope)
         return self.ln_f(tok)
 
-    def forward_subset(self, patches, positions, rope_cache):
+    def forward_subset(self, patches, positions, rope_cache, date_info=None):
         """Encode only kept tokens (MAE path). positions: [B, N] int32."""
         c = self.cfg
-        tok = self.embed_tokens(patches, positions)
+        tok = self.embed_tokens(patches, positions, date_info=date_info)
         sub_mask = mask_lib.block_causal_mask_from_positions(
             positions, positions, c.n_electrodes)
         rope = rope_ops.rope_for_positions(rope_cache, positions)
@@ -162,7 +171,7 @@ class MAE(nn.Module):
         # ENCODER on kept tokens only (25% of 6144)
         kept_patches = take(patches, unmasked_idx)
         encoded = self.encoder.forward_subset(kept_patches, unmasked_idx,
-                                              rope_cache)
+                                              rope_cache, date_info=date_info)
 
         # DECODER: scatter encoded into full sequence, mask token elsewhere
         dec = jnp.broadcast_to(self.mask_token.astype(encoded.dtype),
@@ -221,10 +230,10 @@ class BrainEncoder(nn.Module):
         self.to_out = nn.Dense(c.output_dim, dtype=self.dtype,
                                param_dtype=jnp.float32, name="to_out")
 
-    def __call__(self, x):
+    def __call__(self, x, date_info=None):
         """x: [B, T, C] -> [B, n_output_tokens, output_dim]."""
         c = self.cfg
-        context = self.encoder(x)
+        context = self.encoder(x, date_info=date_info)
         b = x.shape[0]
         q = jnp.broadcast_to(self.learnable_queries.astype(self.dtype),
                              (b, c.n_output_tokens, c.dim))
@@ -244,7 +253,8 @@ class BrainFormer(nn.Module):
 
     @nn.compact
     def __call__(self, x, targets=None, date_info=None):
-        pred = BrainEncoder(self.cfg, dtype=self.dtype, name="brain")(x)
+        pred = BrainEncoder(self.cfg, dtype=self.dtype,
+                            name="brain")(x, date_info=date_info)
         if targets is None:
             return None, pred
         loss = jnp.mean(jnp.abs(pred.astype(jnp.float32)

@@ -37,13 +37,13 @@ class Franky(nn.Module):
         Returns (loss, logits) — the uniform trainable-model contract
         (reference:utils/train_utils.py:138).
         """
-        features = self.brain_model(x)
+        features = self.brain_model(x, date_info=date_info)
         idx = jnp.where(targets == IGNORE_INDEX, self.cfg.pad_token_id, targets)
         return self.llm_model(idx, prefix=features, targets=targets)
 
-    def encode(self, x):
+    def encode(self, x, date_info=None):
         """Brain window -> prefix vectors (decode-time entry)."""
-        return self.brain_model(x)
+        return self.brain_model(x, date_info=date_info)
 
     def prefill(self, idx, prefix, cache):
         return self.llm_model.prefill(idx, prefix, cache)
