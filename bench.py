@@ -62,13 +62,20 @@ def main():
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
 
     # ---- ours: encode once, prefill, KV-cached scan -------------------------
-    def cached_decode(key):
+    # (encode and decode are timed as separate dispatches: the combined
+    # program exceeds the remote-compile upload limit of this harness)
+    def encode_fn(key):
         x = jax.random.normal(key, shape, jnp.float32)
-        prefix = model.apply(params, x, method=type(model).encode)
+        return model.apply(params, x, method=type(model).encode)
+
+    def decode_fn(key):
+        prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
                                  max_new_tokens=max_new, top_k=10)
 
-    cached_s = _bench(cached_decode, 5)
+    encode_s = _bench(encode_fn, 5)
+    decode_s = _bench(decode_fn, 5)
+    cached_s = encode_s + decode_s
     ours = batch / cached_s
 
     # ---- reference scheme: full re-forward per token, no cache --------------
@@ -78,8 +85,7 @@ def main():
         return m.llm_model(idx, prefix=prefix, targets=targets)
 
     def nocache_decode(key):
-        x = jax.random.normal(key, shape, jnp.float32)
-        prefix = model.apply(params, x, method=type(model).encode)
+        prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
 
         def step(carry, r):
@@ -98,7 +104,7 @@ def main():
         (idx, _), toks = jax.lax.scan(step, (idx, jnp.int32(1)), rngs)
         return jnp.transpose(toks)
 
-    nocache_s = _bench(nocache_decode, 2)
+    nocache_s = encode_s + _bench(nocache_decode, 2)
     baseline = batch / nocache_s
 
     print(json.dumps({
@@ -107,6 +113,8 @@ def main():
         "unit": "sentences/sec/chip",
         "vs_baseline": round(ours / baseline, 2),
         "baseline_nocache_sentences_per_sec": round(baseline, 2),
+        "encode_ms_per_batch": round(encode_s * 1000, 1),
+        "decode_ms_per_batch": round(decode_s * 1000, 1),
         "batch": batch,
         "max_new_tokens": max_new,
         "device": str(jax.devices()[0].device_kind),

@@ -173,10 +173,16 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                     project_name: str = "transformer",
                     save_folder: Path = Path("logs"),
                     mesh=None,
-                    hooks: Optional[Callable] = None) -> TrainState:
+                    hooks: Optional[Callable] = None,
+                    eval_metric: Optional[Callable] = None) -> TrainState:
     """Step-based training loop (reference:utils/train_utils.py:93-186):
     infinite epochs over the train loader, eval every ``eval_interval`` steps,
-    best-val checkpoint, stop past ``max_steps``."""
+    best-val checkpoint, stop past ``max_steps``.
+
+    ``eval_metric(state, step) -> float``: when given, checkpoint selection
+    uses this (lower is better) instead of the val loss — e.g. a WER hook,
+    mirroring the HF trainer's ``metric_for_best_model="wer"``
+    (reference:whisper_hugging_face.ipynb cell 19)."""
     from frankenstein_tpu.data.datasets import batch_iterator
     from frankenstein_tpu.train import checkpoints as ckpt_lib
 
@@ -234,9 +240,13 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                 mean_val = float(np.mean(val_losses)) if val_losses else float("nan")
                 logger.log(step, {"val/loss": mean_val})
                 print(f"step {step}: train {float(loss):.4f} val {mean_val:.4f}")
-                if mean_val < best_val:
-                    best_val = mean_val
-                    ckpt_lib.save_checkpoint(save_dir, state, step, mean_val,
+                select = mean_val
+                if eval_metric is not None:
+                    select = float(eval_metric(state, step))
+                    logger.log(step, {"val/metric": select})
+                if select < best_val:
+                    best_val = select
+                    ckpt_lib.save_checkpoint(save_dir, state, step, select,
                                              keep=config.keep_checkpoints)
                 if hooks:
                     hooks(state, step)
