@@ -174,7 +174,8 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                     save_folder: Path = Path("logs"),
                     mesh=None,
                     hooks: Optional[Callable] = None,
-                    eval_metric: Optional[Callable] = None) -> TrainState:
+                    eval_metric: Optional[Callable] = None,
+                    resume: bool = False) -> TrainState:
     """Step-based training loop (reference:utils/train_utils.py:93-186):
     infinite epochs over the train loader, eval every ``eval_interval`` steps,
     best-val checkpoint, stop past ``max_steps``.
@@ -199,6 +200,15 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     sample = next(iter(batch_iterator(train_ds, min(config.batch_size, 8),
                                       shuffle=False, epochs=1)))
     state, tx = init_state(spec, config, sample)
+
+    # auto-resume: pick up the best prior checkpoint, params + OPT STATE +
+    # step (the reference can only reload weights, reference:train_utils.py:171)
+    if resume:
+        prior = ckpt_lib.best_checkpoint(save_dir)
+        if prior is not None:
+            state = ckpt_lib.restore_checkpoint(prior, state)
+            print(f"resumed from {prior.name} at step {int(state.step)}")
+
     state = mesh_lib.replicate(mesh, state)
 
     train_step = make_train_step(spec, tx, config)
@@ -220,6 +230,13 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
             state, loss, aux = train_step(state, sharded, step_rng)
             tokens_seen += batch[0].shape[0]
             step = int(state.step)
+
+            # failure detection: a NaN/inf loss poisons every later step —
+            # stop loudly instead of silently training garbage
+            if not np.isfinite(float(loss)):
+                logger.log(step, {"train/loss": float(loss), "fatal": 1.0})
+                raise FloatingPointError(
+                    f"non-finite train loss at step {step}: {float(loss)}")
 
             if step % config.log_interval == 0:
                 dt = time.perf_counter() - t0
