@@ -49,6 +49,32 @@ def spec_for(path: str, shape, rules) -> P:
     return P()  # replicate
 
 
+def fsdp_spec(shape, mesh: Mesh, min_size: int = 2 ** 16) -> P:
+    """ZeRO-3-style placement: shard the largest divisible dim of big params
+    over 'data'; small params replicate. XLA all-gathers at use sites."""
+    dsize = mesh.shape.get("data", 1)
+    import numpy as _np
+    if dsize <= 1 or _np.prod(shape) < min_size:
+        return P()
+    dims = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in dims:
+        if shape[d] % dsize == 0:
+            spec = [None] * len(shape)
+            spec[d] = "data"
+            return P(*spec)
+    return P()
+
+
+def shard_params_fsdp(mesh: Mesh, tree, min_size: int = 2 ** 16):
+    """device_put a pytree (params or optimizer state) with FSDP placement."""
+    def place(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(
+            x, NamedSharding(mesh, fsdp_spec(x.shape, mesh, min_size)))
+    return jax.tree_util.tree_map(place, tree)
+
+
 def shard_params(mesh: Mesh, params, rules=LLAMA_TP_RULES):
     """device_put every param with its TP sharding (replicated over 'data')."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

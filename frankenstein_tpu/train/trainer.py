@@ -209,7 +209,15 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
             state = ckpt_lib.restore_checkpoint(prior, state)
             print(f"resumed from {prior.name} at step {int(state.step)}")
 
-    state = mesh_lib.replicate(mesh, state)
+    if config.fsdp:
+        from frankenstein_tpu.parallel import sharding as shard_lib
+        state = TrainState(
+            params=shard_lib.shard_params_fsdp(mesh, state.params),
+            opt_state=shard_lib.shard_params_fsdp(mesh, state.opt_state),
+            extra=mesh_lib.replicate(mesh, state.extra),
+            step=jax.device_put(state.step, mesh_lib.replicated(mesh)))
+    else:
+        state = mesh_lib.replicate(mesh, state)
 
     train_step = make_train_step(spec, tx, config)
     eval_step = make_eval_step(spec)
