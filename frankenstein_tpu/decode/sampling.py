@@ -51,7 +51,9 @@ def _topk_filter(logits: jnp.ndarray, k: Optional[int]) -> jnp.ndarray:
 def _prefill_args(module, params, idx0, prefix, max_len):
     gpt_cfg = module.cfg.gpt if hasattr(module.cfg, "gpt") else module.cfg
     b = idx0.shape[0]
-    cache = gpt2.init_cache(gpt_cfg, b, max_len)
+    # cache in the model's compute dtype (bf16 halves decode HBM traffic)
+    cache = gpt2.init_cache(gpt_cfg, b, max_len,
+                            dtype=getattr(module, "dtype", jnp.float32))
     logits, cache, length = module.apply(params, idx0, prefix, cache,
                                          method=type(module).prefill)
     return logits, cache, length

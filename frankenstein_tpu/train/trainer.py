@@ -194,8 +194,9 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     (save_dir / "train_config.json").write_text(config.to_json())
 
     logger = MetricLogger(save_dir / "metrics.jsonl", project=project_name)
-    train_iter = batch_iterator(train_ds, config.batch_size, shuffle=True,
-                                seed=config.seed)
+    from frankenstein_tpu.data.loader import prefetch
+    train_iter = prefetch(batch_iterator(train_ds, config.batch_size,
+                                         shuffle=True, seed=config.seed))
 
     sample = next(iter(batch_iterator(train_ds, min(config.batch_size, 8),
                                       shuffle=False, epochs=1)))
