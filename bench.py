@@ -35,8 +35,12 @@ def _bench(fn, n_iters, key0=100):
     import jax
     import jax.numpy as jnp
 
+    import sys
     run = jax.jit(lambda key: jnp.sum(fn(key).astype(jnp.float32)))
+    print(f"[bench] compiling {getattr(fn, '__name__', 'fn')}...",
+          file=sys.stderr, flush=True)
     float(run(jax.random.key(key0)))          # compile + warm
+    print("[bench] compiled; timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for i in range(n_iters):
         v = float(run(jax.random.key(key0 + 1 + i)))
@@ -79,32 +83,22 @@ def main():
     ours = batch / cached_s
 
     # ---- reference scheme: full re-forward per token, no cache --------------
-    # (fixed full length per step — the reference's final-step cost, a LOWER
-    # bound on its growing-length total, so the speedup is conservative)
+    # Measured as ONE full-length LLM forward x max_new steps (fixed full
+    # length == the reference's final-step cost, a LOWER bound on its
+    # growing-length total, so the reported speedup is conservative). The
+    # literal 25-step re-forward scan exceeds this harness's remote-compile
+    # limits; per-step cost is what matters and is measured exactly.
     def llm_full(m, idx, prefix, targets):
         return m.llm_model(idx, prefix=prefix, targets=targets)
 
-    def nocache_decode(key):
+    def nocache_step(key):
         prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
+        _, logits = model.apply(params, idx, prefix,
+                                jnp.zeros_like(idx), method=llm_full)
+        return logits[:, -1]
 
-        def step(carry, r):
-            idx, pos = carry
-            _, logits = model.apply(params, idx, prefix,
-                                    jnp.zeros_like(idx), method=llm_full)
-            logits = logits[:, -1]
-            kth = jax.lax.top_k(logits, 10)[0][..., -1:]
-            logits = jnp.where(logits < kth, -1e30, logits)
-            tok = jax.random.categorical(r, logits, axis=-1)
-            idx = jax.lax.dynamic_update_slice(idx, tok[:, None].astype(idx.dtype),
-                                               (0, pos))
-            return (idx, pos + 1), tok
-
-        rngs = jax.random.split(key, max_new)
-        (idx, _), toks = jax.lax.scan(step, (idx, jnp.int32(1)), rngs)
-        return jnp.transpose(toks)
-
-    nocache_s = encode_s + _bench(nocache_decode, 2)
+    nocache_s = encode_s + max_new * _bench(nocache_step, 5)
     baseline = batch / nocache_s
 
     print(json.dumps({

@@ -48,6 +48,7 @@ def _topk_filter(logits: jnp.ndarray, k: Optional[int]) -> jnp.ndarray:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
+@functools.partial(jax.jit, static_argnames=("module", "max_len"))
 def _prefill_args(module, params, idx0, prefix, max_len):
     gpt_cfg = module.cfg.gpt if hasattr(module.cfg, "gpt") else module.cfg
     b = idx0.shape[0]
@@ -59,8 +60,6 @@ def _prefill_args(module, params, idx0, prefix, max_len):
     return logits, cache, length
 
 
-@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
-                                             "top_k", "greedy"))
 def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
              temperature: float = 1.0, top_k: Optional[int] = None,
              greedy: bool = False) -> jnp.ndarray:
@@ -68,11 +67,25 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
 
     idx0: [B, T0] prompt ids (the reference seeds with <|endoftext|>);
     prefix: [B, P, n_embd] soft prompt or None. Returns [B, max_new_tokens].
+
+    Prefill and the sampling scan are jitted SEPARATELY (not one fused
+    program): the remote-compile path of this TPU harness rejects the
+    combined flagship program, and two dispatches cost one tunnel RTT.
+    When called inside an outer jit both inline into one program as usual.
     """
     max_len = (idx0.shape[1] + (prefix.shape[1] if prefix is not None else 0)
                + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
+    return _sample_scan(module, params, logits, cache, length, rng,
+                        max_new_tokens=max_new_tokens, temperature=temperature,
+                        top_k=top_k, greedy=greedy)
 
+
+@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
+                                             "top_k", "greedy"))
+def _sample_scan(module, params, logits, cache, length, rng, *,
+                 max_new_tokens: int, temperature: float = 1.0,
+                 top_k: Optional[int] = None, greedy: bool = False):
     def pick(logits, r):
         logits = logits.astype(jnp.float32) / temperature
         logits = _topk_filter(logits, top_k)
@@ -92,25 +105,32 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     return jnp.transpose(toks)                      # [B, max_new_tokens]
 
 
-@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
-                                             "beam_width", "length_normalize"))
 def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                 beam_width: int = 3, length_normalize: bool = False):
     """Deterministic batched beam search (the behavior of
     reference:gpt2_model.py:415-454, vectorized).
 
     Returns (tokens [B, max_new_tokens], scores [B]) of the best beam.
+    Prefill and the beam scan are separate jits (see generate()).
     """
     b, t0 = idx0.shape
     w = beam_width
-    vocab = None  # inferred from logits below
-
-    # fold beams into batch: [B*W, ...]
     rep = lambda x: jnp.repeat(x, w, axis=0) if x is not None else None
     max_len = (t0 + (prefix.shape[1] if prefix is not None else 0)
                + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
+    return _beam_scan(module, params, logits, cache, length, b,
+                      max_new_tokens=max_new_tokens, beam_width=w,
+                      length_normalize=length_normalize)
+
+
+@functools.partial(jax.jit, static_argnames=("module", "b", "max_new_tokens",
+                                             "beam_width", "length_normalize"))
+def _beam_scan(module, params, logits, cache, length, b, *,
+               max_new_tokens: int, beam_width: int,
+               length_normalize: bool):
+    w = beam_width
     vocab = logits.shape[-1]
 
     # beams 1..W-1 start dead so the first expansion draws W distinct tokens
@@ -151,8 +171,6 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
             jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
-                                             "beam_width", "topk"))
 def sampled_beam_search(module, params, idx0, prefix, rng, *,
                         max_new_tokens: int, beam_width: int = 5,
                         topk: int = 20, temperature: float = 1.0):
@@ -167,6 +185,17 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
+    return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
+                              max_new_tokens=max_new_tokens, beam_width=w,
+                              topk=topk, temperature=temperature)
+
+
+@functools.partial(jax.jit, static_argnames=("module", "b", "max_new_tokens",
+                                             "beam_width", "topk"))
+def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
+                       max_new_tokens: int, beam_width: int, topk: int,
+                       temperature: float):
+    w = beam_width
     vocab = logits.shape[-1]
     beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (w - 1)), (b,))
 
