@@ -26,25 +26,34 @@ import time
 import numpy as np
 
 
-def _bench(fn, n_iters, key0=100):
+def _bench(fn, n_iters, key0=100, outer_jit=True):
     """Time fn(key) over n_iters dispatches; returns seconds/iter.
 
     Sync is a VALUE FETCH of a scalar reduction (block_until_ready does not
     actually block under the remote tunnel); each call gets a fresh key so no
-    dispatch can be served from a memo."""
+    dispatch can be served from a memo. ``outer_jit=False`` for fns whose
+    internals are already jitted in stages (fusing them into one program
+    exceeds the remote-compile limit)."""
     import jax
     import jax.numpy as jnp
-
     import sys
-    run = jax.jit(lambda key: jnp.sum(fn(key).astype(jnp.float32)))
+
+    # params flow through as a REAL argument — a closure capture can be
+    # embedded into the remote-compile payload (500MB -> HTTP 413)
+    run = lambda params, key: jnp.sum(fn(params, key).astype(jnp.float32))
+    if outer_jit:
+        run = jax.jit(run)
     print(f"[bench] compiling {getattr(fn, '__name__', 'fn')}...",
           file=sys.stderr, flush=True)
-    float(run(jax.random.key(key0)))          # compile + warm
+    float(run(_PARAMS[0], jax.random.key(key0)))     # compile + warm
     print("[bench] compiled; timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for i in range(n_iters):
-        v = float(run(jax.random.key(key0 + 1 + i)))
+        v = float(run(_PARAMS[0], jax.random.key(key0 + 1 + i)))
     return (time.perf_counter() - t0) / n_iters
+
+
+_PARAMS = [None]
 
 
 def main():
@@ -63,22 +72,23 @@ def main():
     x1 = jnp.zeros((1,) + shape[1:], jnp.float32)
     y1 = jnp.zeros((1, max_new), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
+    _PARAMS[0] = params
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
 
     # ---- ours: encode once, prefill, KV-cached scan -------------------------
     # (encode and decode are timed as separate dispatches: the combined
     # program exceeds the remote-compile upload limit of this harness)
-    def encode_fn(key):
+    def encode_fn(params, key):
         x = jax.random.normal(key, shape, jnp.float32)
         return model.apply(params, x, method=type(model).encode)
 
-    def decode_fn(key):
+    def decode_fn(params, key):
         prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
                                  max_new_tokens=max_new, top_k=10)
 
     encode_s = _bench(encode_fn, 5)
-    decode_s = _bench(decode_fn, 5)
+    decode_s = _bench(decode_fn, 5, outer_jit=False)
     cached_s = encode_s + decode_s
     ours = batch / cached_s
 
@@ -91,7 +101,7 @@ def main():
     def llm_full(m, idx, prefix, targets):
         return m.llm_model(idx, prefix=prefix, targets=targets)
 
-    def nocache_step(key):
+    def nocache_step(params, key):
         prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
         _, logits = model.apply(params, idx, prefix,
