@@ -77,15 +77,11 @@ def _row_mask(i, block: int, t: int):
 # ---------------------------------------------------------------------------
 
 def _pick_chunk(t: int, block: int) -> int:
-    """kv-chunk length: a slab multiple near 2048 that divides T.
-
-    Measured on v5e (b=128, h=8, t=6144, d=32, bf16): chunk 2048 ~= one full-T
-    dot (~51% MFU — the MXU pipeline wants long dots), chunk 512 is 30%
-    slower; causal chunk-skipping saves no wall-clock because skipped chunks
-    still pay their prefetch DMA. 2048 keeps the VMEM watermark low enough
-    for windows beyond the flagship's 6144 tokens.
-    """
-    for cand in (2048, 1024, 3072, 512, 256, 128):
+    """kv-chunk length. Swept on v5e (b=128, h=8, t=6144, d=32, bf16) with
+    the triangle grid: (qb=1024, chunk=1024) = 132 ms/call vs 198 ms for the
+    dense single-dot variant; chunk 512 is slower (short-N dots), chunk 2048
+    saves fewer FLOPs."""
+    for cand in (1024, 2048, 3072, 512, 256, 128):
         if cand % block == 0 or block % cand == 0:
             c = max(cand, block)
             if t % c == 0:
@@ -93,13 +89,38 @@ def _pick_chunk(t: int, block: int) -> int:
     return t
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, block: int, chunk: int, scale: float):
-    i = pl.program_id(1)
-    c = pl.program_id(2)
-    n_chunks = pl.num_programs(2)
-    # chunks containing key slabs <= i: ceil((i+1)*block / chunk)
-    last = (i * block) // chunk     # index of the chunk holding the diagonal
+def _pick_qblock(t: int, block: int) -> int:
+    """q rows per program: several slabs per program amortize the softmax
+    bookkeeping and improve MXU row pipelining (sweep: 1024 best)."""
+    for cand in (1024, 512, 256, 128):
+        if cand % block == 0 and t % cand == 0:
+            return cand
+    return block
+
+
+def _triangle_pairs(t: int, block: int, qb: int, chunk: int):
+    """Enumerate causal (q-superblock, kv-chunk) pairs: for q rows
+    [I*qb, (I+1)*qb) only chunks holding key slabs <= the block's max slab.
+    Returns (i_arr, c_arr, last_arr) int32."""
+    import numpy as np
+    is_, cs_, last_ = [], [], []
+    for i in range(t // qb):
+        max_slab = ((i + 1) * qb - 1) // block
+        n_c = (max_slab * block) // chunk + 1
+        for c in range(n_c):
+            is_.append(i)
+            cs_.append(c)
+            last_.append(1 if c == n_c - 1 else 0)
+    return (np.asarray(is_, np.int32), np.asarray(cs_, np.int32),
+            np.asarray(last_, np.int32))
+
+
+def _fwd_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
+                    o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                    *, block: int, qb: int, chunk: int, scale: float):
+    p = pl.program_id(1)
+    i = i_ref[p]
+    c = c_ref[p]
 
     @pl.when(c == 0)
     def _init():
@@ -107,67 +128,79 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(c <= last)
-    def _process():
-        q = q_ref[0]                               # [P, D]
-        kc = k_ref[0]                              # [C, D]
-        vc = v_ref[0]
-        s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        # mask only matters on the diagonal chunk (key slab > query slab)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
-        s = jnp.where((col // block) <= i, s, NEG_INF)
+    q = q_ref[0]                               # [QB, D]
+    kc = k_ref[0]                              # [C, D]
+    vc = v_ref[0]
+    s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    # slab-causal mask from absolute positions (bites near the diagonal)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
+    s = jnp.where((col // block) <= (row // block), s, NEG_INF)
 
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[...] = m_new
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    pexp = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        pexp.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[...] = m_new
 
-    @pl.when(c == n_chunks - 1)
+    @pl.when(last_ref[p] == 1)
     def _finalize():
         l = l_scr[...]
         o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        lse_ref[0, 0, pl.ds(i * block, block)] = (m_scr[...] + jnp.log(l))[:, 0]
+        lse_ref[0, 0, pl.ds(i * qb, qb)] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
 def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
+    """Triangle-grid flash forward: one program per causal (q-superblock,
+    kv-chunk) pair — no wasted programs, no skipped-chunk DMA. Pair indices
+    arrive via scalar prefetch and drive the block index maps."""
+    from jax.experimental.pallas import tpu as pltpu
+
     bh, t, d = q3.shape
     chunk = _pick_chunk(t, block)
-    grid = (bh, t // block, t // chunk)
-    from jax.experimental.pallas import tpu as pltpu
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block=block, chunk=chunk, scale=scale),
-        grid=grid,
+    qb = _pick_qblock(t, block)
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk)
+    n_pairs = len(i_arr)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bh, n_pairs),
         in_specs=[
-            pl.BlockSpec((1, block, d), lambda b, i, c: (b, i, 0)),
-            pl.BlockSpec((1, chunk, d), lambda b, i, c: (b, c, 0)),
-            pl.BlockSpec((1, chunk, d), lambda b, i, c: (b, c, 0)),
+            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block, d), lambda b, i, c: (b, i, 0)),
-            pl.BlockSpec((1, 1, t), lambda b, i, c: (b, 0, 0)),
+            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, 1, t), lambda b, p, i_r, c_r, l_r: (b, 0, 0)),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((qb, 1), jnp.float32),
+            pltpu.VMEM((qb, 1), jnp.float32),
+            pltpu.VMEM((qb, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_tri_kernel, block=block, qb=qb, chunk=chunk,
+                          scale=scale),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
             jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, d), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * 2 * bh * t * (t + chunk) // 2 * d),
+            flops=int(2 * 2 * bh * n_pairs * qb * chunk * d),
             bytes_accessed=int(4 * bh * t * d * 4),
-            transcendentals=int(bh * t * (t + chunk) // 2),
+            transcendentals=int(bh * n_pairs * qb * chunk),
         ),
         interpret=interpret,
-    )(q3, k3, v3)
+    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
+      q3, k3, v3)
     return out, lse
 
 
@@ -175,86 +208,173 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, block: int, scale: float):
-    i = pl.program_id(1)
-    q = q_ref[0]
+def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, delta_ref, dq_ref, dq_scr,
+                       *, block: int, qb: int, chunk: int, scale: float):
+    p = pl.program_id(1)
+    i = i_ref[p]
+    c = c_ref[p]
+
+    @pl.when(c == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]                               # [QB, D]
     do = do_ref[0]
-    kf = k_ref[0]
-    vf = v_ref[0]
-    t = kf.shape[0]
-    lse = lse_ref[0, 0, pl.ds(i * block, block)][:, None]
-    delta = delta_ref[0, 0, pl.ds(i * block, block)][:, None]
+    kc = k_ref[0]                              # [C, D]
+    vc = v_ref[0]
+    lse = lse_ref[0, 0, pl.ds(i * qb, qb)][:, None]
+    delta = delta_ref[0, 0, pl.ds(i * qb, qb)][:, None]
 
-    s = jax.lax.dot_general(q, kf, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    s = jnp.where(_row_mask(i, block, t), s, NEG_INF)
-    p = jnp.exp(s - lse)                                           # [P, T]
-    dp = jax.lax.dot_general(do, vf, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [P, T]
-    ds = (p * (dp - delta) * scale).astype(kf.dtype)
-    dq = jax.lax.dot_general(ds, kf, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
+    s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+    pexp = jnp.exp(s - lse)                                        # [QB, C]
+    dp = jax.lax.dot_general(do, vc, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [QB, C]
+    ds = (pexp * (dp - delta) * scale).astype(kc.dtype)
+    dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
+        ds, kc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, block: int, scale: float):
-    j = pl.program_id(1)
-    qf = q_ref[0]                                  # [T, D]
-    dof = do_ref[0]
-    kj = k_ref[0]                                  # [P, D]
+def _triangle_pairs_kv(t: int, block: int, kb: int, qchunk: int):
+    """Pairs for the dk/dv pass: for kv rows [J*kb, (J+1)*kb) only q chunks
+    containing query slabs >= the kv block's min slab."""
+    import numpy as np
+    js_, cs_, first_, last_ = [], [], [], []
+    n_qc = t // qchunk
+    for j in range(t // kb):
+        min_slab = (j * kb) // block
+        first_qc = (min_slab * block) // qchunk
+        for c in range(first_qc, n_qc):
+            js_.append(j)
+            cs_.append(c)
+            first_.append(1 if c == first_qc else 0)
+            last_.append(1 if c == n_qc - 1 else 0)
+    return (np.asarray(js_, np.int32), np.asarray(cs_, np.int32),
+            np.asarray(first_, np.int32), np.asarray(last_, np.int32))
+
+
+def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
+                        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dk_ref, dv_ref, dk_scr, dv_scr,
+                        *, block: int, kb: int, qchunk: int, scale: float):
+    p = pl.program_id(1)
+    j = j_ref[p]
+    c = c_ref[p]
+
+    @pl.when(first_ref[p] == 1)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    qc = q_ref[0]                                  # [QC, D]
+    doc = do_ref[0]
+    kj = k_ref[0]                                  # [KB, D]
     vj = v_ref[0]
-    t = qf.shape[0]
-    lse = lse_ref[0, 0, :][:, None]                # [T, 1]
-    delta = delta_ref[0, 0, :][:, None]
+    lse = lse_ref[0, 0, pl.ds(c * qchunk, qchunk)][:, None]
+    delta = delta_ref[0, 0, pl.ds(c * qchunk, qchunk)][:, None]
 
-    # s_all[q, kv] for this kv slab: [T, P]; query slab >= j is allowed
-    s = jax.lax.dot_general(qf, kj, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(qc, kj, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, kj.shape[0]), 0)
-    s = jnp.where((row // block) >= j, s, NEG_INF)
-    p = jnp.exp(s - lse)                                           # [T, P]
-    dv = jax.lax.dot_general(p.astype(dof.dtype), dof,
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [P, D]
-    dp = jax.lax.dot_general(dof, vj, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [T, P]
-    ds = (p * (dp - delta) * scale).astype(qf.dtype)
-    dk = jax.lax.dot_general(ds, qf, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [P, D]
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + c * qchunk
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kb
+    s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+    pexp = jnp.exp(s - lse)                                        # [QC, KB]
+    dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
+        pexp.astype(doc.dtype), doc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # [KB, D]
+    dp = jax.lax.dot_general(doc, vj, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [QC, KB]
+    ds = (pexp * (dp - delta) * scale).astype(qc.dtype)
+    dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
+        ds, qc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # [KB, D]
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
     bh, t, d = q3.shape
     delta = jnp.sum(o3.astype(jnp.float32) * do3.astype(jnp.float32),
                     axis=-1)[:, None, :]                       # [BH, 1, T]
 
-    grid = (bh, t // block)
-    qblk = pl.BlockSpec((1, block, d), lambda b, i: (b, i, 0))
-    full = pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0))
-    vec = pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0))
+    chunk = _pick_chunk(t, block)
+    qb = _pick_qblock(t, block)
+    vec = pl.BlockSpec((1, 1, t), lambda b, p, *refs: (b, 0, 0))
 
+    # ---- dq: same triangle as forward -----------------------------------
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bh, len(i_arr)),
+        in_specs=[
+            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+            vec, vec,
+        ],
+        out_specs=pl.BlockSpec((1, qb, d),
+                               lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+        scratch_shapes=[pltpu.VMEM((qb, d), jnp.float32)],
+    )
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block=block, scale=scale),
-        grid=grid,
-        in_specs=[qblk, full, full, qblk, vec, vec],
-        out_specs=qblk,
+        functools.partial(_bwd_dq_tri_kernel, block=block, qb=qb, chunk=chunk,
+                          scale=scale),
+        grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
         interpret=interpret,
-    )(q3, k3, v3, do3, lse, delta)
+    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
+      q3, k3, v3, do3, lse, delta)
 
+    # ---- dk/dv: transposed triangle --------------------------------------
+    kb, qchunk = qb, chunk
+    j_arr, qc_arr, first_arr, last2_arr = _triangle_pairs_kv(t, block, kb,
+                                                             qchunk)
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bh, len(j_arr)),
+        in_specs=[
+            pl.BlockSpec((1, qchunk, d),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0)),
+            pl.BlockSpec((1, kb, d),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
+            pl.BlockSpec((1, kb, d),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
+            pl.BlockSpec((1, qchunk, d),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0)),
+            vec, vec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kb, d),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
+            pl.BlockSpec((1, kb, d),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((kb, d), jnp.float32),
+                        pltpu.VMEM((kb, d), jnp.float32)],
+    )
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block=block, scale=scale),
-        grid=grid,
-        in_specs=[full, qblk, qblk, full, vec, vec],
-        out_specs=[qblk, qblk],
+        functools.partial(_bwd_dkv_tri_kernel, block=block, kb=kb,
+                          qchunk=qchunk, scale=scale),
+        grid_spec=dkv_spec,
         out_shape=[jax.ShapeDtypeStruct((bh, t, d), k3.dtype),
                    jax.ShapeDtypeStruct((bh, t, d), v3.dtype)],
         interpret=interpret,
-    )(q3, k3, v3, do3, lse, delta)
+    )(jnp.asarray(j_arr), jnp.asarray(qc_arr), jnp.asarray(first_arr),
+      jnp.asarray(last2_arr), q3, k3, v3, do3, lse, delta)
     return dq, dk, dv
 
 
