@@ -72,6 +72,8 @@ def main():
     x1 = jnp.zeros((1,) + shape[1:], jnp.float32)
     y1 = jnp.zeros((1, max_new), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
+    from frankenstein_tpu.decode.pipeline import cast_params_for_inference
+    params = cast_params_for_inference(params)   # decode-only benchmark
     _PARAMS[0] = params
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
 
