@@ -277,6 +277,10 @@ class TrainConfig(_SerializableMixin):
     # mesh geometry: data x model
     mesh_shape: Optional[tuple] = None   # None => (n_devices, 1)
 
+    # rematerialize activations in backward (jax.checkpoint) to fit bigger
+    # batches in HBM
+    remat: bool = False
+
     # ZeRO-3-style parameter/optimizer-state sharding over the data axis
     # (the reference is plain DDP; SURVEY.md §2.2 lists this as the optional
     # TPU-native extension)

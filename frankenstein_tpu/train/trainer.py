@@ -22,6 +22,7 @@ labels, date_info)`` (reference:train_utils.py:138), adapted per-model by
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from pathlib import Path
@@ -48,6 +49,7 @@ class TrainableSpec:
     mutable: Tuple[str, ...] = ()    # e.g. ('vq',) — threaded state collections
     needs_train_flag: bool = False   # pass train=True/False
     needs_labels: bool = True        # MAE variants ignore labels
+    flops_per_sample: float = 0.0    # fwd FLOPs/sample; enables MFU logging
 
     def call_kwargs(self, train: bool):
         return {"train": train} if self.needs_train_flag else {}
@@ -93,7 +95,7 @@ def init_state(spec: TrainableSpec, config: TrainConfig, sample_batch,
     return state, tx
 
 
-def _forward(spec: TrainableSpec, params, extra, batch, rngs, train: bool):
+def _forward(spec: TrainableSpec, params, extra, batch, rngs, *, train: bool):
     x, y, d = batch
     args = (x,) + ((y,) if spec.needs_labels else ())
     variables = {"params": params, **extra}
@@ -120,8 +122,11 @@ def make_train_step(spec: TrainableSpec, tx, config: TrainConfig):
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params, micro, extra, i):
-            loss, new_extra, aux = _forward(
-                spec, params, extra, micro, split_rngs(rng, i), train=True)
+            fwd = functools.partial(_forward, spec, train=True)
+            if config.remat:
+                # trade FLOPs for activation memory (jax.checkpoint)
+                fwd = jax.checkpoint(fwd, static_argnums=())
+            loss, new_extra, aux = fwd(params, extra, micro, split_rngs(rng, i))
             return loss, (new_extra, aux)
 
         if accum == 1:
@@ -249,13 +254,20 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
 
             if step % config.log_interval == 0:
                 dt = time.perf_counter() - t0
-                logger.log(step, {
+                metrics = {
                     "train/loss": float(loss),
                     "lr": float(sched(step)),
                     "grad_norm": float(aux.get("grad_norm", 0.0)),
                     "samples_per_sec": tokens_seen / max(dt, 1e-9),
                     **{k: float(v) for k, v in aux.items() if k != "grad_norm"},
-                })
+                }
+                if spec.flops_per_sample:
+                    from frankenstein_tpu.utils import profiling
+                    # fwd+bwd ~ 3x fwd FLOPs (PaLM App. B convention)
+                    metrics["mfu"] = profiling.estimate_mfu(
+                        3 * spec.flops_per_sample * tokens_seen / max(step, 1),
+                        dt / max(step, 1))
+                logger.log(step, metrics)
 
             if step % config.eval_interval == 0:
                 val_losses = []

@@ -139,3 +139,21 @@ def test_train_loop_vqvae_updates_codebook(tmp_path):
     cb1 = np.asarray(state.extra["vq"]["quantizer"]["codebook"])
     assert not np.allclose(cb0, cb1)
     assert "perplexity" in " ".join(aux.keys())
+
+
+def test_remat_matches_baseline():
+    """jax.checkpoint changes memory, not math."""
+    spec = tiny_franky_spec()
+    batch = tiny_batch(8)
+    cfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_iters=0,
+                      use_scheduler=False)
+    state1, tx = trainer.init_state(spec, cfg, batch)
+    state2, _ = trainer.init_state(spec, cfg, batch)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    s1, l1, _ = trainer.make_train_step(spec, tx, cfg)(state1, jb, jax.random.key(0))
+    s2, l2, _ = trainer.make_train_step(spec, tx, cfg.replace(remat=True))(
+        state2, jb, jax.random.key(0))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
