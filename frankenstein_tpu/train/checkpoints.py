@@ -26,6 +26,8 @@ def save_checkpoint(save_dir: Path, state, step: int, val_loss: float,
                     keep: int = 3) -> Path:
     save_dir = Path(save_dir)
     path = (save_dir / _ckpt_name(step, val_loss)).absolute()
+    if path.exists():          # stale dir from an interrupted/previous run
+        shutil.rmtree(path, ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()

@@ -26,7 +26,7 @@ import functools
 import json
 import time
 from pathlib import Path
-from typing import Any, Callable, Iterable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax
 import jax
