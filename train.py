@@ -47,6 +47,14 @@ def build_model(args):
         cfg = PerceiverConfig(encoder=mae_cfg, n_output_tokens=25,
                               output_dim=50257)
         return TrainableSpec(module=BrainFormer(cfg, dtype=dtype)), cfg
+    if args.model == "simple_mae":
+        from frankenstein_tpu.config import SimpleEncoderConfig, SimpleMAEConfig
+        from frankenstein_tpu.models.simple_mae import SimpleMAE
+        ec = SimpleEncoderConfig(block_size=args.window,
+                                 patch_size=args.channels)
+        dc = SimpleMAEConfig()
+        return TrainableSpec(module=SimpleMAE(ec, dc, dtype=dtype),
+                             rng_names=("mask",), needs_labels=False), (ec, dc)
     if args.model == "vqvae":
         from frankenstein_tpu.models.vq_brain import SoundStream
         cfg = VQVAEConfig(n_electrodes=args.channels)
@@ -81,7 +89,8 @@ def build_datasets(args):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="franky",
-                   choices=["franky", "mae", "brainformer", "vqvae"])
+                   choices=["franky", "mae", "brainformer", "vqvae",
+                            "simple_mae"])
     p.add_argument("--data", default="synthetic",
                    help="'synthetic' or path to competitionData/")
     p.add_argument("--exp-name", default=None)
