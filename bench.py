@@ -128,4 +128,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    import traceback
+
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            # the remote-TPU tunnel occasionally drops a compile (HTTP 413 /
+            # broken pipe); wait and retry rather than losing the round's run
+            traceback.print_exc()
+            if attempt == 2:
+                sys.exit(1)
+            print(f"[bench] attempt {attempt + 1} failed; retrying in 60s",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
