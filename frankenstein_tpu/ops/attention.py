@@ -60,15 +60,22 @@ def dot_product_attention(
     """
     if impl == "auto":
         impl = "xla"
-        if mask_mode == "slab" and mask is None:
-            # the Pallas kernel handles the pure slab-causal structure
+        if mask is None and mask_mode in ("slab", None):
             from frankenstein_tpu.ops.pallas import block_attention
-            if block_attention.supported(q, k, tok_per_time):
+            tile = tok_per_time if mask_mode == "slab" else (
+                256 if q.shape[1] % 256 == 0 else 128)
+            # dense flash only pays off when XLA would materialize big scores
+            big_enough = mask_mode == "slab" or q.shape[1] >= 2048
+            if big_enough and block_attention.supported(q, k, tile):
                 impl = "pallas"
 
-    if impl == "pallas" and mask_mode == "slab" and mask is None:
+    if impl == "pallas" and mask is None:
         from frankenstein_tpu.ops.pallas import block_attention
-        return block_attention.slab_causal_attention(q, k, v, tok_per_time)
+        if mask_mode == "slab":
+            return block_attention.slab_causal_attention(q, k, v, tok_per_time)
+        if mask_mode is None:
+            tile = 256 if q.shape[1] % 256 == 0 else 128
+            return block_attention.dense_flash_attention(q, k, v, tile)
 
     return _xla_attention(q, k, v, mask=mask, mask_mode=mask_mode,
                           tok_per_time=tok_per_time)

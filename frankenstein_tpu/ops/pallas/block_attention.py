@@ -108,15 +108,19 @@ def _pick_qblock(t: int, block: int) -> int:
     return block
 
 
-def _triangle_pairs(t: int, block: int, qb: int, chunk: int):
-    """Enumerate causal (q-superblock, kv-chunk) pairs: for q rows
-    [I*qb, (I+1)*qb) only chunks holding key slabs <= the block's max slab.
-    Returns (i_arr, c_arr, last_arr) int32."""
+def _triangle_pairs(t: int, block: int, qb: int, chunk: int,
+                    causal: bool = True):
+    """Enumerate (q-superblock, kv-chunk) pairs: for q rows [I*qb, (I+1)*qb)
+    only chunks holding key slabs <= the block's max slab (all chunks when
+    not causal). Returns (i_arr, c_arr, last_arr) int32."""
     import numpy as np
     is_, cs_, last_ = [], [], []
     for i in range(t // qb):
-        max_slab = ((i + 1) * qb - 1) // block
-        n_c = (max_slab * block) // chunk + 1
+        if causal:
+            max_slab = ((i + 1) * qb - 1) // block
+            n_c = (max_slab * block) // chunk + 1
+        else:
+            n_c = t // chunk
         for c in range(n_c):
             is_.append(i)
             cs_.append(c)
@@ -127,7 +131,8 @@ def _triangle_pairs(t: int, block: int, qb: int, chunk: int):
 
 def _fwd_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
                     o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                    *, block: int, qb: int, chunk: int, scale: float):
+                    *, block: int, qb: int, chunk: int, scale: float,
+                    causal: bool = True):
     p = pl.program_id(1)
     i = i_ref[p]
     c = c_ref[p]
@@ -143,10 +148,11 @@ def _fwd_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
     vc = v_ref[0]
     s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    # slab-causal mask from absolute positions (bites near the diagonal)
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
-    s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+    if causal:
+        # slab-causal mask from absolute positions (bites near the diagonal)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
+        s = jnp.where((col // block) <= (row // block), s, NEG_INF)
 
     m_prev = m_scr[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -165,7 +171,8 @@ def _fwd_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
         lse_ref[0, 0, pl.ds(i * qb, qb)] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
-def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
+def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool,
+         causal: bool = True):
     """Triangle-grid flash forward: one program per causal (q-superblock,
     kv-chunk) pair — no wasted programs, no skipped-chunk DMA. Pair indices
     arrive via scalar prefetch and drive the block index maps."""
@@ -174,7 +181,7 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
     bh, t, d = q3.shape
     chunk = _pick_chunk(t, block)
     qb = _pick_qblock(t, block)
-    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk)
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk, causal)
     n_pairs = len(i_arr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -197,7 +204,7 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_tri_kernel, block=block, qb=qb, chunk=chunk,
-                          scale=scale),
+                          scale=scale, causal=causal),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
@@ -220,7 +227,8 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool):
 
 def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
                        lse_ref, delta_ref, dq_ref, dq_scr,
-                       *, block: int, qb: int, chunk: int, scale: float):
+                       *, block: int, qb: int, chunk: int, scale: float,
+                       causal: bool = True):
     p = pl.program_id(1)
     i = i_ref[p]
     c = c_ref[p]
@@ -238,9 +246,10 @@ def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
 
     s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
-    s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
+        s = jnp.where((col // block) <= (row // block), s, NEG_INF)
     pexp = jnp.exp(s - lse)                                        # [QB, C]
     dp = jax.lax.dot_general(do, vc, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)   # [QB, C]
@@ -253,15 +262,16 @@ def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _triangle_pairs_kv(t: int, block: int, kb: int, qchunk: int):
+def _triangle_pairs_kv(t: int, block: int, kb: int, qchunk: int,
+                       causal: bool = True):
     """Pairs for the dk/dv pass: for kv rows [J*kb, (J+1)*kb) only q chunks
-    containing query slabs >= the kv block's min slab."""
+    containing query slabs >= the kv block's min slab (all when not causal)."""
     import numpy as np
     js_, cs_, first_, last_ = [], [], [], []
     n_qc = t // qchunk
     for j in range(t // kb):
         min_slab = (j * kb) // block
-        first_qc = (min_slab * block) // qchunk
+        first_qc = (min_slab * block) // qchunk if causal else 0
         for c in range(first_qc, n_qc):
             js_.append(j)
             cs_.append(c)
@@ -274,7 +284,8 @@ def _triangle_pairs_kv(t: int, block: int, kb: int, qchunk: int):
 def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
                         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                         dk_ref, dv_ref, dk_scr, dv_scr,
-                        *, block: int, kb: int, qchunk: int, scale: float):
+                        *, block: int, kb: int, qchunk: int, scale: float,
+                        causal: bool = True):
     p = pl.program_id(1)
     j = j_ref[p]
     c = c_ref[p]
@@ -293,9 +304,10 @@ def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
 
     s = jax.lax.dot_general(qc, kj, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + c * qchunk
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kb
-    s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + c * qchunk
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kb
+        s = jnp.where((col // block) <= (row // block), s, NEG_INF)
     pexp = jnp.exp(s - lse)                                        # [QC, KB]
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
         pexp.astype(doc.dtype), doc, (((0,), (0,)), ((), ())),
@@ -313,7 +325,8 @@ def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool):
+def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float,
+         interpret: bool, causal: bool = True):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, t, d = q3.shape
@@ -325,7 +338,7 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool)
     vec = pl.BlockSpec((1, 1, t), lambda b, p, *refs: (b, 0, 0))
 
     # ---- dq: same triangle as forward -----------------------------------
-    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk)
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk, causal)
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bh, len(i_arr)),
@@ -342,7 +355,7 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool)
     )
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_tri_kernel, block=block, qb=qb, chunk=chunk,
-                          scale=scale),
+                          scale=scale, causal=causal),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
         interpret=interpret,
@@ -352,7 +365,7 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool)
     # ---- dk/dv: transposed triangle --------------------------------------
     kb, qchunk = qb, chunk
     j_arr, qc_arr, first_arr, last2_arr = _triangle_pairs_kv(t, block, kb,
-                                                             qchunk)
+                                                             qchunk, causal)
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(bh, len(j_arr)),
@@ -378,7 +391,7 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool)
     )
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_tri_kernel, block=block, kb=kb,
-                          qchunk=qchunk, scale=scale),
+                          qchunk=qchunk, scale=scale, causal=causal),
         grid_spec=dkv_spec,
         out_shape=[jax.ShapeDtypeStruct((bh, t, d), k3.dtype),
                    jax.ShapeDtypeStruct((bh, t, d), v3.dtype)],
@@ -392,24 +405,27 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float, interpret: bool)
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _slab_attention(q3, k3, v3, block: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _slab_attention(q3, k3, v3, block: int, interpret: bool, causal: bool):
     scale = 1.0 / (q3.shape[-1] ** 0.5)
-    out, _ = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret)
+    out, _ = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret,
+                  causal=causal)
     return out
 
 
-def _slab_attention_fwd(q3, k3, v3, block: int, interpret: bool):
+def _slab_attention_fwd(q3, k3, v3, block: int, interpret: bool, causal: bool):
     scale = 1.0 / (q3.shape[-1] ** 0.5)
-    out, lse = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret)
+    out, lse = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret,
+                    causal=causal)
     return out, (q3, k3, v3, out, lse)
 
 
-def _slab_attention_bwd(block: int, interpret: bool, res, do3):
+def _slab_attention_bwd(block: int, interpret: bool, causal: bool, res, do3):
     q3, k3, v3, out, lse = res
     scale = 1.0 / (q3.shape[-1] ** 0.5)
     dq, dk, dv = _bwd(q3, k3, v3, out, do3, lse,
-                      block=block, scale=scale, interpret=interpret)
+                      block=block, scale=scale, interpret=interpret,
+                      causal=causal)
     return dq, dk, dv
 
 
@@ -421,5 +437,17 @@ def slab_causal_attention(q, k, v, tok_per_time: int,
     """Flash attention under slab-causality. q/k/v: [B, T, H, D] -> [B, T, H, D]."""
     b, t, h, d = q.shape
     to3 = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
-    out3 = _slab_attention(to3(q), to3(k), to3(v), tok_per_time, interpret)
+    out3 = _slab_attention(to3(q), to3(k), to3(v), tok_per_time, interpret,
+                           True)
+    return jnp.transpose(out3.reshape(b, h, t, d), (0, 2, 1, 3))
+
+
+def dense_flash_attention(q, k, v, tile: int = 256,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Dense (all-to-all) flash attention with the same kernels — used for
+    the MAE decoder, whose 6144-token UNMASKED attention otherwise makes XLA
+    materialize [B, H, T, T] scores in HBM (77 GB at batch 64)."""
+    b, t, h, d = q.shape
+    to3 = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+    out3 = _slab_attention(to3(q), to3(k), to3(v), tile, interpret, False)
     return jnp.transpose(out3.reshape(b, h, t, d), (0, 2, 1, 3))

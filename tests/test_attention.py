@@ -120,3 +120,31 @@ def test_cached_attention_matches_full():
         jnp.full((b,), valid_len)))
     ref = naive_attention(q, k[:, :valid_len], v[:, :valid_len])
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_dense_matches_xla():
+    rng = np.random.default_rng(7)
+    q, k, v = rand_qkv(rng, 2, 64, 2, 16)
+    ref = attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla")
+    out = block_attention.dense_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_dense_grads_match_xla():
+    rng = np.random.default_rng(8)
+    q, k, v = rand_qkv(rng, 1, 32, 2, 8)
+
+    def lp(q, k, v):
+        return jnp.sum(jnp.sin(block_attention.dense_flash_attention(
+            q, k, v, tile=8, interpret=True)))
+
+    def lx(q, k, v):
+        return jnp.sum(jnp.sin(attention.dot_product_attention(
+            q, k, v, impl="xla")))
+
+    gp = jax.grad(lp, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gx = jax.grad(lx, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
