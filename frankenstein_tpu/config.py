@@ -253,12 +253,22 @@ class TrainConfig(_SerializableMixin):
     batch_size: int = 256          # GLOBAL batch (split across data shards)
     grad_accum: int = 1
 
+    # per-sample probability of a random time-masking augmentation on the
+    # brain signal (the reference declares this knob but never implements an
+    # augmentation, reference:utils/train_utils.py:22 — here it is real:
+    # see trainer.augment_batch)
     p_augs: float = 0.0
 
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    # True => decay only params with ndim >= 2 (matmul weights + embeddings),
+    # never biases/norm scales — nanoGPT's configure_optimizers grouping
+    # (reference:models/gpt2_model.py:286-310). False => torch-AdamW decay on
+    # everything, which is what run_train_model uses
+    # (reference:utils/train_utils.py:117-119).
+    weight_decay_mask: bool = False
 
     max_steps: int = 100_000
     eval_interval: int = 1_000
@@ -268,7 +278,10 @@ class TrainConfig(_SerializableMixin):
     lr_decay_iters: int = 50_000
 
     grad_clip: float = 1.0         # clip by VALUE (reference uses clip_grad_value_)
-    mixed_precision: bool = True   # bf16 compute on TPU (reference: fp16 AMP)
+    # bf16 compute on TPU (reference: fp16 AMP). Consumed by the train step —
+    # float batch inputs are cast to bf16 before the forward — and by
+    # train.py, which constructs models with dtype=bf16 iff this is set.
+    mixed_precision: bool = True
 
     seed: int = 42
     log_interval: int = 10

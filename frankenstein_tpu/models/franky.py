@@ -31,15 +31,16 @@ class Franky(nn.Module):
                                         name="brain_model")
         self.llm_model = GPT(self.cfg.gpt, dtype=self.dtype, name="llm_model")
 
-    def __call__(self, x, targets=None, date_info=None):
+    def __call__(self, x, targets=None, date_info=None, train: bool = False):
         """x: [B, 768, 256] signal; targets: [B, 25] token ids with -100 pad.
 
         Returns (loss, logits) — the uniform trainable-model contract
-        (reference:utils/train_utils.py:138).
+        (reference:utils/train_utils.py:138). ``train=True`` enables GPT
+        dropout (needs a 'dropout' rng when cfg.gpt.dropout > 0).
         """
         features = self.brain_model(x, date_info=date_info)
         idx = jnp.where(targets == IGNORE_INDEX, self.cfg.pad_token_id, targets)
-        return self.llm_model(idx, prefix=features, targets=targets)
+        return self.llm_model(idx, prefix=features, targets=targets, train=train)
 
     def encode(self, x, date_info=None):
         """Brain window -> prefix vectors (decode-time entry)."""

@@ -53,17 +53,23 @@ class _LN(nn.Module):
 
 class GPTBlock(nn.Module):
     """One pre-LN block, written scan-compatible:
-    ``(carry, per-layer cache) -> (carry, updated cache)``."""
+    ``(carry, per-layer cache) -> (carry, updated cache)``.
+
+    Dropout mirrors the nanoGPT fork: on the attention probabilities, after
+    the attention projection, and after the MLP projection
+    (reference:gpt2_model.py:33,40,51,66-71). Active only when
+    ``deterministic=False`` (training) and ``cfg.dropout > 0``."""
 
     cfg: GPTConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, layer_cache):
+    def __call__(self, carry, layer_cache, deterministic: bool = True):
         c = self.cfg
         x, length = carry
         k_cache, v_cache = layer_cache
         b, t, _ = x.shape
+        dropping = (not deterministic) and c.dropout > 0.0
 
         proj_init = nn.initializers.normal(0.02 / (2 * c.n_layer) ** 0.5)
         h = _LN(c.n_embd, c.bias, name="ln_1")(x)
@@ -77,15 +83,21 @@ class GPTBlock(nn.Module):
             k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
-        y = attn_ops.cached_attention(q, k_cache, v_cache, length + 1)
+        y = attn_ops.cached_attention(
+            q, k_cache, v_cache, length + 1,
+            probs_dropout_rate=c.dropout if dropping else 0.0,
+            dropout_rng=self.make_rng("dropout") if dropping else None)
         y = _dense(c.n_embd, c.bias, self.dtype, "c_proj", proj_init)(
             y.reshape(b, t, c.n_embd))
+        y = nn.Dropout(c.dropout, deterministic=deterministic)(y)
         x = x + y
 
         h = _LN(c.n_embd, c.bias, name="ln_2")(x)
         h = nn.gelu(_dense(4 * c.n_embd, c.bias, self.dtype, "c_fc")(h),
                     approximate=False)
-        x = x + _dense(c.n_embd, c.bias, self.dtype, "mlp_c_proj", proj_init)(h)
+        h = _dense(c.n_embd, c.bias, self.dtype, "mlp_c_proj", proj_init)(h)
+        h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
+        x = x + h
         return (x, length), (k_cache, v_cache)
 
 
@@ -102,40 +114,45 @@ class GPT(nn.Module):
         self.h = nn.scan(
             GPTBlock,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
+            split_rngs={"params": True, "dropout": True},
             length=c.n_layer,
-            in_axes=0, out_axes=0,
+            in_axes=(0, nn.broadcast), out_axes=0,
         )(c, self.dtype, name="h")
         self.ln_f = _LN(c.n_embd, c.bias, name="ln_f")
+        self.drop = nn.Dropout(c.dropout)
 
     def _lm_head(self, x):
         # tied weights: logits = x @ wte^T (reference:gpt2_model.py:138)
         return jnp.einsum("btd,vd->btv", x, self.wte.astype(x.dtype),
                           preferred_element_type=jnp.float32)
 
-    def _embed(self, idx, prefix):
+    def _embed(self, idx, prefix, deterministic: bool = True):
         tok_emb = jnp.take(self.wte, idx, axis=0).astype(self.dtype)
         if prefix is not None:
             tok_emb = jnp.concatenate([prefix.astype(self.dtype), tok_emb], axis=1)
         t_full = tok_emb.shape[1]
         pos_emb = self.wpe[:t_full].astype(self.dtype)
-        return tok_emb + pos_emb[None]
+        x = tok_emb + pos_emb[None]
+        # embedding dropout (reference:gpt2_model.py:61,67)
+        return self.drop(x, deterministic=deterministic)
 
-    def _run_blocks(self, x, cache, length):
-        (x, _), cache = self.h((x, length), cache)
+    def _run_blocks(self, x, cache, length, deterministic: bool = True):
+        (x, _), cache = self.h((x, length), cache, deterministic)
         return x, cache
 
-    def __call__(self, idx, prefix=None, targets=None):
+    def __call__(self, idx, prefix=None, targets=None, train: bool = False):
         """Full forward. idx: [B, Tw] int32; prefix: [B, Tc, n_embd] or None.
 
         Returns (loss, logits) with loss=None at inference, logits over text
         positions only (last position only when targets is None), matching
-        reference:gpt2_model.py:178-216.
+        reference:gpt2_model.py:178-216. ``train=True`` enables dropout
+        (requires a 'dropout' rng when cfg.dropout > 0).
         """
         t_words = idx.shape[1]
-        x = self._embed(idx, prefix)
+        det = not train
+        x = self._embed(idx, prefix, deterministic=det)
         cache = init_cache(self.cfg, x.shape[0], x.shape[1], dtype=self.dtype)
-        x, _ = self._run_blocks(x, cache, jnp.int32(0))
+        x, _ = self._run_blocks(x, cache, jnp.int32(0), deterministic=det)
         x = x[:, -t_words:]
         x = self.ln_f(x)
 

@@ -112,13 +112,20 @@ def _xla_attention(q, k, v, *, mask=None, mask_mode=None, tok_per_time=0):
     return out.astype(q.dtype)
 
 
-def cached_attention(q, k_cache, v_cache, lengths) -> jnp.ndarray:
+def cached_attention(q, k_cache, v_cache, lengths, *,
+                     probs_dropout_rate: float = 0.0,
+                     dropout_rng=None) -> jnp.ndarray:
     """Decode/prefill attention against a fixed-shape KV cache.
 
     q: [B, T, H, D] — T new positions whose keys/values have already been
     written into the cache; k_cache/v_cache: [B, S, H, D]; lengths: [] or [B]
     int32 — the number of valid cache entries visible to query row 0 (i.e.
     prior context + 1 for its own key). Row i sees positions j < lengths + i.
+
+    ``probs_dropout_rate`` applies inverted dropout to the attention
+    probabilities (the SDPA ``dropout_p`` of reference:gpt2_model.py:40);
+    requires ``dropout_rng`` when nonzero. Training-path only — decode never
+    passes it.
 
     This is the op the reference lacks entirely (its generate() re-forwards
     the whole sequence per token, reference:models/gpt2_model.py:335-339).
@@ -133,6 +140,10 @@ def cached_attention(q, k_cache, v_cache, lengths) -> jnp.ndarray:
     valid = kj < qi + jnp.reshape(lengths, (-1, 1, 1, 1))
     logits = jnp.where(valid, logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
+    if probs_dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - probs_dropout_rate,
+                                    weights.shape)
+        weights = weights * keep / (1.0 - probs_dropout_rate)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v_cache.dtype), v_cache,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

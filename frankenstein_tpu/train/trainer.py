@@ -65,16 +65,43 @@ class TrainState(flax.struct.PyTreeNode):
 def make_optimizer(config: TrainConfig):
     """AdamW + value clip, lr driven by the warmup-cosine schedule.
 
-    Weight decay applies to every parameter — torch AdamW semantics, which is
-    what run_train_model uses (reference:train_utils.py:117-119).
+    Default: weight decay applies to every parameter — torch AdamW semantics,
+    what run_train_model uses (reference:train_utils.py:117-119). With
+    ``config.weight_decay_mask``, only ndim>=2 params decay (matmul weights +
+    embeddings; biases and norm scales don't) — nanoGPT's
+    configure_optimizers grouping (reference:gpt2_model.py:286-310).
     """
     sched = make_lr_schedule(config)
+    mask = ((lambda params: jax.tree_util.tree_map(
+                 lambda p: jnp.ndim(p) >= 2, params))
+            if config.weight_decay_mask else None)
     tx = optax.chain(
         optax.clip(config.grad_clip),
         optax.adamw(learning_rate=sched, b1=config.adam_b1, b2=config.adam_b2,
-                    weight_decay=config.weight_decay),
+                    weight_decay=config.weight_decay, mask=mask),
     )
     return tx, sched
+
+
+def augment_batch(batch, rng, p_augs: float, mask_frac: float = 1 / 16):
+    """SpecAugment-style time masking on the brain signal.
+
+    With probability ``p_augs`` per sample, zero a random contiguous span of
+    ``mask_frac`` of the time axis of batch[0] ([B, T, C]). The reference's
+    TrainConfig declares ``p_augs`` but implements no augmentation
+    (reference:utils/train_utils.py:22); this makes the knob real.
+    """
+    x = batch[0]
+    b, t = x.shape[0], x.shape[1]
+    span = max(int(t * mask_frac), 1)
+    r_apply, r_start = jax.random.split(rng)
+    apply = jax.random.bernoulli(r_apply, p_augs, (b,))
+    start = jax.random.randint(r_start, (b,), 0, t - span + 1)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    in_span = (ti >= start[:, None]) & (ti < (start + span)[:, None])
+    keep = ~(apply[:, None] & in_span)
+    shaped = keep.reshape(keep.shape + (1,) * (x.ndim - 2))
+    return (x * shaped.astype(x.dtype),) + tuple(batch[1:])
 
 
 def init_state(spec: TrainableSpec, config: TrainConfig, sample_batch,
@@ -121,6 +148,16 @@ def make_train_step(spec: TrainableSpec, tx, config: TrainConfig):
                 for h, name in enumerate(spec.rng_names)}
 
     def train_step(state: TrainState, batch, rng):
+        if config.p_augs > 0.0:
+            rng, aug_rng = jax.random.split(rng)
+            batch = augment_batch(batch, aug_rng, config.p_augs)
+        if config.mixed_precision:
+            # cast float inputs to bf16 at the jit boundary (params stay
+            # fp32; the reference's fp16-AMP analog, reference:train_utils.py:97)
+            batch = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, batch)
+
         def loss_fn(params, micro, extra, i):
             fwd = functools.partial(_forward, spec, train=True)
             if config.remat:

@@ -40,6 +40,90 @@ def transformer_flops_per_token(n_params: int, n_layer: int, n_head: int,
     return 6 * n_params + 12 * n_layer * n_head * head_dim * seq_len
 
 
+def block_stack_fwd_flops(seq: int, dim: int, hidden: int, n_heads: int,
+                          head_dim: int, n_layers: int, *,
+                          kv_seq: Optional[int] = None,
+                          n_mlp_mats: int = 3) -> float:
+    """Analytic forward matmul FLOPs for a stack of attention blocks.
+
+    Per token per layer: qkv projections + output projection + MLP matmuls
+    (3 for SwiGLU, 2 for GELU) + the two attention dots over ``kv_seq`` keys.
+    Same accounting as the PaLM App. B formula the reference uses
+    (reference:gpt2_model.py:315-319), fwd-only (x3 for fwd+bwd).
+    """
+    kv = kv_seq if kv_seq is not None else seq
+    inner = n_heads * head_dim
+    qkv = 2 * dim * 3 * inner
+    proj = 2 * inner * dim
+    mlp = 2 * dim * hidden * n_mlp_mats
+    attn = 4 * kv * inner
+    return float(n_layers) * seq * (qkv + proj + mlp + attn)
+
+
+def franky_fwd_flops_per_sample(cfg) -> float:
+    """Forward FLOPs of one Franky sample (encoder + Perceiver + GPT)."""
+    e, p, g = cfg.brain.encoder, cfg.brain, cfg.gpt
+    n_tok = e.block_size
+    enc = (2 * e.patch_size * e.dim * n_tok
+           + block_stack_fwd_flops(n_tok, e.dim, e.hidden_dim, e.n_heads,
+                                   e.head_dim, e.n_layers))
+    nq = p.n_output_tokens
+    inner = p.n_heads * p.head_dim
+    cross = p.n_layers * (2 * p.dim * inner * nq            # q proj
+                          + 2 * p.dim * 2 * inner * n_tok   # kv proj
+                          + 4 * n_tok * inner * nq          # attention dots
+                          + 2 * inner * p.dim * nq)
+    perceiver = cross + block_stack_fwd_flops(nq, p.dim, p.hidden_dim,
+                                              p.n_heads, p.head_dim,
+                                              p.n_layers)
+    proj_out = 2 * p.dim * p.output_dim * nq
+    t_full = p.n_output_tokens + cfg.max_tokens
+    gpt = (block_stack_fwd_flops(t_full, g.n_embd, 4 * g.n_embd, g.n_head,
+                                 g.head_dim, g.n_layer, n_mlp_mats=2)
+           + 2 * g.n_embd * g.vocab_size * cfg.max_tokens)  # tied lm head
+    return enc + perceiver + proj_out + gpt
+
+
+def mae_fwd_flops_per_sample(cfg) -> float:
+    """MAE pretraining forward: encoder on kept tokens + dense decoder."""
+    n_tok = cfg.block_size
+    kept = n_tok - int(cfg.masking_ratio * n_tok)
+    enc = (2 * cfg.patch_size * cfg.dim * kept
+           + block_stack_fwd_flops(kept, cfg.dim, cfg.hidden_dim, cfg.n_heads,
+                                   cfg.head_dim, cfg.n_layers))
+    dec = block_stack_fwd_flops(n_tok, cfg.decoder_dim, cfg.hidden_dim,
+                                cfg.n_heads, cfg.head_dim, cfg.n_dec_layers)
+    head = 2 * cfg.decoder_dim * cfg.patch_size * n_tok
+    return enc + dec + head
+
+
+def vqvae_fwd_flops_per_sample(cfg, t: int = 768) -> float:
+    """Causal-conv codec: 2*Cin*Cout*k*T_out per conv (vq_brain geometry)."""
+
+    def conv(cin, cout, k, tout):
+        return 2.0 * cin * cout * k * tout
+
+    def res_units(ch, tout):
+        # 3 ResidualUnits: k3 dilated conv + 1x1 conv each
+        return 3 * (conv(ch, ch, 3, tout) + conv(ch, ch, 1, tout))
+
+    total, cur_t = 0.0, t
+    total += conv(cfg.n_electrodes, cfg.C, 5, cur_t)
+    for s in cfg.strides:
+        total += res_units(cfg.C, cur_t)
+        cur_t //= s
+        total += conv(cfg.C, cfg.C, 2 * s, cur_t)
+    total += conv(cfg.C, cfg.D, 3, cur_t)
+    total += 2 * cfg.D * cfg.codebook_size * cur_t      # VQ lookup
+    total += conv(cfg.D, cfg.C, 3, cur_t)
+    for s in reversed(cfg.strides):
+        total += conv(cfg.C, cfg.C, 2 * s, cur_t)
+        cur_t *= s
+        total += res_units(cfg.C, cur_t)
+    total += conv(cfg.C, cfg.n_electrodes, 5, cur_t)
+    return total
+
+
 def estimate_mfu(flops_per_iter: float, iter_time_s: float,
                  peak_flops: Optional[float] = None,
                  n_chips: int = 1) -> float:

@@ -118,3 +118,29 @@ def test_cached_decode_matches_full_forward(hf_pair):
     cached_seq = np.stack([np.asarray(t) for t in toks], axis=1)
     full_seq = np.asarray(idx_full[:, 3:])
     np.testing.assert_array_equal(cached_seq, full_seq)
+
+
+def test_dropout_active_only_in_training():
+    """cfg.dropout is a real knob (the reference wires attn/resid/embd
+    dropout through every block, reference:gpt2_model.py:33,66-71): with
+    train=True outputs vary across dropout rngs; with train=False (or at
+    decode) they are deterministic and match the dropout=0 model exactly."""
+    cfg = small_cfg().replace(dropout=0.5)
+    model = gpt2.GPT(cfg)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 10)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 10)), jnp.int32)
+    params = model.init(jax.random.key(0), idx, targets=tgt)
+
+    l1, _ = model.apply(params, idx, targets=tgt, train=True,
+                        rngs={"dropout": jax.random.key(1)})
+    l2, _ = model.apply(params, idx, targets=tgt, train=True,
+                        rngs={"dropout": jax.random.key(2)})
+    assert not np.isclose(float(l1), float(l2)), "dropout had no effect"
+
+    # eval path needs no rng and equals the dropout-0 config bit-for-bit
+    le, logits_e = model.apply(params, idx, targets=tgt)
+    model0 = gpt2.GPT(cfg.replace(dropout=0.0))
+    l0, logits_0 = model0.apply(params, idx, targets=tgt)
+    np.testing.assert_array_equal(np.asarray(logits_e), np.asarray(logits_0))
+    np.testing.assert_allclose(float(le), float(l0))

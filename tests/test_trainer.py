@@ -157,3 +157,63 @@ def test_remat_matches_baseline():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_weight_decay_mask_spares_biases():
+    """With weight_decay_mask, ndim<2 params see NO decay (pure Adam step on
+    them), matching nanoGPT's decay/no-decay groups
+    (reference:models/gpt2_model.py:286-310)."""
+    import optax
+
+    from frankenstein_tpu.config import TrainConfig as TC
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    grads = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    cfg = TC(learning_rate=0.1, weight_decay=0.5, warmup_iters=0,
+             use_scheduler=False, weight_decay_mask=True)
+    tx, _ = trainer.make_optimizer(cfg)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    # zero grad, decay masked off => bias unchanged; weight decayed
+    np.testing.assert_allclose(np.asarray(new["b"]), 1.0)
+    assert np.all(np.asarray(new["w"]) < 1.0)
+
+    cfg_all = cfg.replace(weight_decay_mask=False)
+    tx2, _ = trainer.make_optimizer(cfg_all)
+    up2, _ = tx2.update(grads, tx2.init(params), params)
+    new2 = optax.apply_updates(params, up2)
+    assert np.all(np.asarray(new2["b"]) < 1.0)  # default decays everything
+
+
+def test_augment_batch_time_masking():
+    x = np.ones((6, 32, 4), np.float32)
+    batch = (jnp.asarray(x), jnp.zeros((6, 2), jnp.int32))
+    # p=1: every sample gets exactly one zeroed contiguous span of T/16>=1
+    out = trainer.augment_batch(batch, jax.random.key(0), p_augs=1.0,
+                                mask_frac=1 / 8)
+    ox = np.asarray(out[0])
+    zero_rows = (ox == 0).all(axis=2)
+    assert (zero_rows.sum(axis=1) == 4).all()  # 32/8 = 4 masked steps
+    for row in zero_rows:
+        idx = np.flatnonzero(row)
+        assert (np.diff(idx) == 1).all()  # contiguous
+    # p=0: identity
+    out0 = trainer.augment_batch(batch, jax.random.key(0), p_augs=0.0)
+    np.testing.assert_array_equal(np.asarray(out0[0]), x)
+    # labels untouched
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(batch[1]))
+
+
+def test_mixed_precision_casts_float_inputs_only():
+    """mixed_precision=True casts float batch leaves to bf16 inside the step;
+    the step still runs and label ints are untouched (smoke via train_step)."""
+    spec = tiny_franky_spec()
+    batch = tiny_batch(8)
+    cfg = TrainConfig(batch_size=8, learning_rate=1e-3, warmup_iters=0,
+                      use_scheduler=False, mixed_precision=True, p_augs=0.5)
+    state, tx = trainer.init_state(spec, cfg, batch)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    state, loss, _ = trainer.make_train_step(spec, tx, cfg)(
+        state, jb, jax.random.key(0))
+    assert np.isfinite(float(loss))

@@ -26,6 +26,7 @@ def build_model(args):
     from frankenstein_tpu.config import (FrankyConfig, GPTConfig, MAEConfig,
                                          PerceiverConfig, VQVAEConfig)
     from frankenstein_tpu.train.trainer import TrainableSpec
+    from frankenstein_tpu.utils import profiling
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     mae_cfg = MAEConfig(window_size=args.window, n_electrodes=args.channels,
@@ -36,12 +37,17 @@ def build_model(args):
         cfg = FrankyConfig(
             brain=PerceiverConfig(encoder=mae_cfg, n_output_tokens=32,
                                   output_dim=768),
-            gpt=GPTConfig())
-        return TrainableSpec(module=Franky(cfg, dtype=dtype)), cfg
+            gpt=GPTConfig(dropout=args.dropout))
+        return TrainableSpec(
+            module=Franky(cfg, dtype=dtype), needs_train_flag=True,
+            rng_names=("dropout",) if args.dropout > 0 else (),
+            flops_per_sample=profiling.franky_fwd_flops_per_sample(cfg)), cfg
     if args.model == "mae":
         from frankenstein_tpu.models.brainformer import MAE
-        return TrainableSpec(module=MAE(mae_cfg, dtype=dtype),
-                             rng_names=("mask",), needs_labels=False), mae_cfg
+        return TrainableSpec(
+            module=MAE(mae_cfg, dtype=dtype),
+            rng_names=("mask",), needs_labels=False,
+            flops_per_sample=profiling.mae_fwd_flops_per_sample(mae_cfg)), mae_cfg
     if args.model == "brainformer":
         from frankenstein_tpu.models.brainformer import BrainFormer
         cfg = PerceiverConfig(encoder=mae_cfg, n_output_tokens=25,
@@ -58,9 +64,12 @@ def build_model(args):
     if args.model == "vqvae":
         from frankenstein_tpu.models.vq_brain import SoundStream
         cfg = VQVAEConfig(n_electrodes=args.channels)
-        return TrainableSpec(module=SoundStream(cfg, dtype=dtype),
-                             rng_names=("vq",), mutable=("vq",),
-                             needs_train_flag=True, needs_labels=False), cfg
+        return TrainableSpec(
+            module=SoundStream(cfg, dtype=dtype),
+            rng_names=("vq",), mutable=("vq",),
+            needs_train_flag=True, needs_labels=False,
+            flops_per_sample=profiling.vqvae_fwd_flops_per_sample(
+                cfg, t=args.window)), cfg
     raise SystemExit(f"unknown model {args.model}")
 
 
@@ -99,6 +108,12 @@ def main():
     p.add_argument("--grad-accum", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--wd-mask", action="store_true",
+                   help="decay only ndim>=2 params (nanoGPT grouping)")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="GPT dropout rate (franky)")
+    p.add_argument("--p-augs", type=float, default=0.0,
+                   help="per-sample probability of time-mask augmentation")
     p.add_argument("--eval-interval", type=int, default=1000)
     p.add_argument("--warmup", type=int, default=2000)
     p.add_argument("--decay-iters", type=int, default=50_000)
@@ -127,6 +142,7 @@ def main():
         exp_name=args.exp_name or f"{args.model}_{args.data.split('/')[-1]}",
         batch_size=args.batch_size, grad_accum=args.grad_accum,
         learning_rate=args.lr, weight_decay=args.weight_decay,
+        weight_decay_mask=args.wd_mask, p_augs=args.p_augs,
         max_steps=args.steps, eval_interval=args.eval_interval,
         warmup_iters=args.warmup, lr_decay_iters=args.decay_iters,
         mixed_precision=args.bf16, mesh_shape=mesh_shape)
