@@ -47,9 +47,13 @@ def make_franky_predictor(model, params, tokenizer, *,
         counter["n"] += 1
         rng = jax.random.fold_in(jax.random.key(seed), counter["n"])
         if beam_width > 1:
+            # EOS-aware beams + HF-default length penalty 1.0 (the reference's
+            # beams keep accumulating log-prob past <|endoftext|>,
+            # reference:gpt2_model.py:415-454 — a pure WER pessimization)
             toks, _ = sampling.beam_search(model, params, idx0, prefix,
                                            max_new_tokens=max_new_tokens,
-                                           beam_width=beam_width)
+                                           beam_width=beam_width,
+                                           eos_id=eot_id, length_penalty=1.0)
         else:
             toks = sampling.generate(model, params, idx0, prefix, rng,
                                      max_new_tokens=max_new_tokens,

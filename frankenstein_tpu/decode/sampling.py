@@ -116,11 +116,19 @@ def _sample_scan(module, params, logits, cache, length, rng, *,
 
 
 def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
-                beam_width: int = 3, length_normalize: bool = False):
+                beam_width: int = 3, length_normalize: bool = False,
+                eos_id: Optional[int] = None, pad_id: Optional[int] = None,
+                length_penalty: float = 0.0):
     """Deterministic batched beam search (the behavior of
-    reference:gpt2_model.py:415-454, vectorized).
+    reference:gpt2_model.py:415-454, vectorized) with EOS handling the
+    reference lacks: when ``eos_id`` is given, a beam that emits it is FROZEN
+    — it stops accumulating log-prob and emits ``pad_id`` (default: eos_id)
+    for the remaining steps. Final ranking uses HF-style length penalty:
+    ``score / gen_len**length_penalty`` where gen_len counts tokens up to and
+    including EOS (unfinished beams count max_new_tokens).
 
-    Returns (tokens [B, max_new_tokens], scores [B]) of the best beam.
+    Returns (tokens [B, max_new_tokens], scores [B]) of the best beam
+    (scores are the normalized selection scores).
     Prefill and the beam scan are separate jits (see generate()).
     """
     b, t0 = idx0.shape
@@ -128,27 +136,47 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
     rep = lambda x: jnp.repeat(x, w, axis=0) if x is not None else None
     max_len = (t0 + (prefix.shape[1] if prefix is not None else 0)
                + max_new_tokens + 1)
+    if length_normalize:           # legacy alias: plain 1/len normalization
+        length_penalty = 1.0
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
     return _beam_scan(module, params, logits, cache, length, b,
                       max_new_tokens=max_new_tokens, beam_width=w,
-                      length_normalize=length_normalize)
+                      eos_id=eos_id,
+                      pad_id=eos_id if pad_id is None else pad_id,
+                      length_penalty=length_penalty)
+
+
+def _freeze_finished(logp, finished, pad_id):
+    """Rows of finished beams get a single continuation: pad with logp 0 —
+    the beam's score and (post-EOS) content are frozen."""
+    if finished is None:
+        return logp
+    pad_row = jnp.full((logp.shape[-1],), NEG_INF, logp.dtype)
+    pad_row = pad_row.at[pad_id].set(0.0)
+    return jnp.where(finished[:, None], pad_row[None], logp)
 
 
 @functools.partial(jax.jit, static_argnames=("module", "b", "max_new_tokens",
-                                             "beam_width", "length_normalize"))
+                                             "beam_width", "eos_id", "pad_id",
+                                             "length_penalty"))
 def _beam_scan(module, params, logits, cache, length, b, *,
                max_new_tokens: int, beam_width: int,
-               length_normalize: bool):
+               eos_id: Optional[int], pad_id: Optional[int],
+               length_penalty: float):
     w = beam_width
     vocab = logits.shape[-1]
 
     # beams 1..W-1 start dead so the first expansion draws W distinct tokens
     beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (w - 1)), (b,))
+    finished0 = jnp.zeros((b * w,), bool)
+    gen_len0 = jnp.zeros((b * w,), jnp.int32)
 
     def step(carry, i):
-        logits, cache, length, scores, toks = carry
+        logits, cache, length, scores, toks, finished, gen_len = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if eos_id is not None:
+            logp = _freeze_finished(logp, finished, pad_id)
         total = scores[:, None] + logp                     # [B*W, V]
         total = total.reshape(b, w * vocab)
         # approx_max_k: exact top_k over W*V dominates the step cost on TPU
@@ -165,18 +193,30 @@ def _beam_scan(module, params, logits, cache, length, b, *,
         toks = jnp.take(toks, flat_parent, axis=0)
         toks = toks.at[:, i].set(token_flat)
 
+        if eos_id is not None:
+            parent_fin = jnp.take(finished, flat_parent)
+            parent_len = jnp.take(gen_len, flat_parent)
+            finished = parent_fin | (token_flat == eos_id)
+            gen_len = jnp.where(parent_fin, parent_len, i + 1)
+
         logits, cache, length = module.apply(
             params, token_flat, cache, length, method=type(module).decode_step)
-        return (logits, cache, length, top_scores.reshape(-1), toks), None
+        return (logits, cache, length, top_scores.reshape(-1), toks,
+                finished, gen_len), None
 
     toks0 = jnp.zeros((b * w, max_new_tokens), jnp.int32)
-    (logits, cache, length, scores, toks), _ = jax.lax.scan(
-        step, (logits, cache, length, beam_scores, toks0),
+    (logits, cache, length, scores, toks, finished, gen_len), _ = jax.lax.scan(
+        step, (logits, cache, length, beam_scores, toks0, finished0, gen_len0),
         jnp.arange(max_new_tokens))
 
     scores = scores.reshape(b, w)
-    if length_normalize:
-        scores = scores / max_new_tokens
+    if length_penalty != 0.0:
+        if eos_id is not None:
+            eff_len = jnp.where(finished, gen_len, max_new_tokens)
+        else:
+            eff_len = jnp.full_like(gen_len, max_new_tokens)
+        scores = scores / (eff_len.reshape(b, w).astype(jnp.float32)
+                           ** length_penalty)
     best = jnp.argmax(scores, axis=-1)                     # [B]
     toks = toks.reshape(b, w, max_new_tokens)
     return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
@@ -185,10 +225,15 @@ def _beam_scan(module, params, logits, cache, length, b, *,
 
 def sampled_beam_search(module, params, idx0, prefix, rng, *,
                         max_new_tokens: int, beam_width: int = 5,
-                        topk: int = 20, temperature: float = 1.0):
+                        topk: int = 20, temperature: float = 1.0,
+                        eos_id: Optional[int] = None,
+                        pad_id: Optional[int] = None,
+                        length_penalty: float = 0.0):
     """Stochastic beam search: each beam samples ``beam_width`` candidates
     from its top-k distribution, the global best W survive — the behavior of
-    reference:gpt2_model.py:355-412, vectorized and cached.
+    reference:gpt2_model.py:355-412, vectorized and cached. EOS handling as
+    in ``beam_search``: finished beams freeze (emit pad, score unchanged);
+    final ranking divides by gen_len**length_penalty.
     """
     b, t0 = idx0.shape
     w = beam_width
@@ -199,23 +244,32 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                                           rep(prefix), max_len)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
                               max_new_tokens=max_new_tokens, beam_width=w,
-                              topk=topk, temperature=temperature)
+                              topk=topk, temperature=temperature,
+                              eos_id=eos_id,
+                              pad_id=eos_id if pad_id is None else pad_id,
+                              length_penalty=length_penalty)
 
 
 @functools.partial(jax.jit, static_argnames=("module", "b", "max_new_tokens",
-                                             "beam_width", "topk"))
+                                             "beam_width", "topk", "eos_id",
+                                             "pad_id", "length_penalty"))
 def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
                        max_new_tokens: int, beam_width: int, topk: int,
-                       temperature: float):
+                       temperature: float, eos_id: Optional[int],
+                       pad_id: Optional[int], length_penalty: float):
     w = beam_width
     vocab = logits.shape[-1]
     beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (w - 1)), (b,))
+    finished0 = jnp.zeros((b * w,), bool)
+    gen_len0 = jnp.zeros((b * w,), jnp.int32)
 
     def step(carry, sr):
         i, r = sr
-        logits, cache, length, scores, toks = carry
+        logits, cache, length, scores, toks, finished, gen_len = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature,
                                   axis=-1)                 # [B*W, V]
+        if eos_id is not None:
+            logp = _freeze_finished(logp, finished, pad_id)
         top_logp, top_tok = jax.lax.approx_max_k(
             logp, topk, recall_target=0.99, aggregate_to_topk=True)  # [B*W, K]
 
@@ -237,17 +291,31 @@ def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
         toks = jnp.take(toks, flat_parent, axis=0)
         toks = toks.at[:, i].set(token_flat)
 
+        if eos_id is not None:
+            parent_fin = jnp.take(finished, flat_parent)
+            parent_len = jnp.take(gen_len, flat_parent)
+            finished = parent_fin | (token_flat == eos_id)
+            gen_len = jnp.where(parent_fin, parent_len, i + 1)
+
         logits, cache, length = module.apply(
             params, token_flat, cache, length, method=type(module).decode_step)
-        return (logits, cache, length, top_scores.reshape(-1), toks), None
+        return (logits, cache, length, top_scores.reshape(-1), toks,
+                finished, gen_len), None
 
     toks0 = jnp.zeros((b * w, max_new_tokens), jnp.int32)
     rngs = jax.random.split(rng, max_new_tokens)
-    (logits, cache, length, scores, toks), _ = jax.lax.scan(
-        step, (logits, cache, length, beam_scores, toks0),
+    (logits, cache, length, scores, toks, finished, gen_len), _ = jax.lax.scan(
+        step, (logits, cache, length, beam_scores, toks0, finished0, gen_len0),
         (jnp.arange(max_new_tokens), rngs))
 
     scores = scores.reshape(b, w)
+    if length_penalty != 0.0:
+        if eos_id is not None:
+            eff_len = jnp.where(finished, gen_len, max_new_tokens)
+        else:
+            eff_len = jnp.full_like(gen_len, max_new_tokens)
+        scores = scores / (eff_len.reshape(b, w).astype(jnp.float32)
+                           ** length_penalty)
     best = jnp.argmax(scores, axis=-1)
     toks = toks.reshape(b, w, max_new_tokens)
     return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],

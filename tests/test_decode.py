@@ -125,3 +125,99 @@ def test_submission_writer(tmp_path):
         tmp_path / "sub.txt", ["Hello, World!", "It's me."])
     lines = p.read_text().strip().split("\n")
     assert lines == ["hello world", "it's me"]
+
+
+def oracle_beam_eos(model, params, idx0, prefix, vocab, steps, w, eos, pad,
+                    alpha):
+    """Slow reference-style beam search WITH the EOS semantics our vectorized
+    beams implement: full re-forward per step (no cache), exhaustive candidate
+    expansion, finished beams frozen (one pad continuation, score unchanged),
+    final ranking by score / gen_len**alpha."""
+    beams = [([], 0.0, False, 0)] + [([], -1e30, False, 0)] * (w - 1)
+    for i in range(steps):
+        cands = []
+        for toks, score, fin, gl in beams:
+            if fin:
+                cands.append((toks + [pad], score, True, gl))
+                continue
+            idx = jnp.concatenate(
+                [idx0, jnp.asarray([toks], jnp.int32)], axis=1) if toks else idx0
+            _, logits = model.apply(params, idx, prefix=prefix)
+            logp = np.asarray(jax.nn.log_softmax(
+                logits[0, -1].astype(jnp.float32)))
+            for v in range(vocab):
+                cands.append((toks + [v], score + float(logp[v]),
+                              v == eos, i + 1))
+        cands.sort(key=lambda c: -c[1])
+        beams = cands[:w]
+    norm = [s / ((gl if fin else steps) ** alpha if alpha else 1.0)
+            for (_, s, fin, gl) in beams]
+    best = int(np.argmax(norm))
+    return beams[best][0], norm[best]
+
+
+def test_beam_eos_matches_oracle_forced_early_eos(tiny_gpt):
+    """Forced-early-EOS case: eos == the greedy first token, so the top beam
+    finishes at step 1; frozen beams must emit pad, stop accumulating
+    log-prob, and win/lose purely on the length-penalized score — matching
+    the slow oracle exactly."""
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(7)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 1)))
+    prefix = jnp.asarray(rng.standard_normal((1, 2, cfg.n_embd)), jnp.float32)
+
+    _, logits0 = model.apply(params, idx0, prefix=prefix)
+    eos = int(jnp.argmax(logits0[0, -1]))     # greedy first token -> early EOS
+    pad = (eos + 1) % cfg.vocab_size
+
+    for alpha in (0.0, 1.0):
+        toks, score = sampling.beam_search(
+            model, params, idx0, prefix, max_new_tokens=6, beam_width=3,
+            eos_id=eos, pad_id=pad, length_penalty=alpha)
+        otoks, oscore = oracle_beam_eos(model, params, idx0, prefix,
+                                        cfg.vocab_size, 6, 3, eos, pad, alpha)
+        np.testing.assert_array_equal(np.asarray(toks)[0], otoks)
+        np.testing.assert_allclose(float(score[0]), oscore, atol=1e-4)
+
+    # the winning beam actually finished early: everything after eos is pad
+    toks = np.asarray(sampling.beam_search(
+        model, params, idx0, prefix, max_new_tokens=6, beam_width=3,
+        eos_id=eos, pad_id=pad, length_penalty=1.0)[0])[0]
+    stop = np.flatnonzero(toks == eos)
+    assert len(stop) > 0 and (toks[stop[0] + 1:] == pad).all()
+
+
+def test_beam_without_eos_unchanged(tiny_gpt):
+    """eos_id=None preserves the legacy (reference-parity) behavior."""
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(3)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 1)))
+    a, sa = sampling.beam_search(model, params, idx0, None,
+                                 max_new_tokens=5, beam_width=3)
+    # an eos that never fires (argmin prob everywhere is near-impossible to
+    # hit in 5 greedy-ish beam steps with random weights) -> same result
+    _, logits0 = model.apply(params, idx0, prefix=None)
+    eos = int(jnp.argmin(logits0[0, -1]))
+    b, sb = sampling.beam_search(model, params, idx0, None,
+                                 max_new_tokens=5, beam_width=3,
+                                 eos_id=eos, length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
+
+
+def test_sampled_beam_eos_freezes(tiny_gpt):
+    model, params, cfg = tiny_gpt
+    idx0 = jnp.zeros((2, 1), jnp.int32)
+    _, logits0 = model.apply(params, idx0, prefix=None)
+    eos = int(jnp.argmax(logits0[0, -1]))
+    pad = (eos + 3) % cfg.vocab_size
+    toks, scores = sampling.sampled_beam_search(
+        model, params, idx0, None, jax.random.key(11),
+        max_new_tokens=6, beam_width=3, topk=8,
+        eos_id=eos, pad_id=pad, length_penalty=1.0)
+    toks = np.asarray(toks)
+    assert np.isfinite(np.asarray(scores)).all()
+    for row in toks:
+        stop = np.flatnonzero(row == eos)
+        if len(stop):
+            assert (row[stop[0] + 1:] == pad).all()
