@@ -79,9 +79,10 @@ def main():
 
     def wer_metric(state, step):
         from frankenstein_tpu.eval.evaluate import evaluate_seq2seq_wer
+        # no start_id: the model's own SOT prompt (real HF ids when imported)
         wer, _ = evaluate_seq2seq_wer(
             model, {"params": state.params}, val_mels[:64], val_sentences[:64],
-            tok, start_id=cfg.n_vocab - 3, batch_size=args.batch_size)
+            tok, batch_size=args.batch_size)
         print(f"step {step}: WER {wer:.4f}")
         return wer
 

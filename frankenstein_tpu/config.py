@@ -241,6 +241,18 @@ class WhisperConfig(_SerializableMixin):
     n_text_layer: int = 4
     dropout: float = 0.0
 
+    # special tokens. -1 = unset (fall back to top-of-vocab placeholders);
+    # params_from_hf_whisper fills the REAL ids from the HF config so an
+    # imported checkpoint decodes with the true
+    # <|startoftranscript|>... prompt (reference:whisper_hugging_face.ipynb
+    # cells 5-27 decode through the HF processor)
+    decoder_start_token_id: int = -1
+    eos_token_id: int = -1
+    pad_token: int = -1
+    # full decoder prompt: (sot, lang?, task?, notimestamps?) — HF
+    # forced_decoder_ids flattened behind decoder_start_token_id
+    sot_sequence: tuple = ()
+
 
 # ---------------------------------------------------------------------------
 # Trainer (reference:utils/train_utils.py:12-37)

@@ -44,13 +44,25 @@ def evaluate_franky_wer(model, params, dataset, tokenizer, *,
 
 
 def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
-                         start_id: int, batch_size: int = 16,
-                         max_new_tokens: int = 32,
+                         start_id: Optional[int] = None, batch_size: int = 16,
+                         max_new_tokens: int = 32, eot_id: Optional[int] = None,
                          normalize: Callable = process_string):
-    """Whisper-path WER: greedy cached decode over [N, n_mels, T] inputs."""
+    """Whisper-path WER: greedy cached decode over [N, n_mels, T] inputs.
+
+    With ``start_id=None`` the decoder is prompted with the model's own SOT
+    sequence (``<|startoftranscript|><|lang|><|task|><|notimestamps|>`` for an
+    HF-imported checkpoint — the reference decodes through the HF processor
+    with exactly this prompt, reference:whisper_hugging_face.ipynb cells
+    25-27), and generation is trimmed at the model's end token."""
     from frankenstein_tpu.models import whisper as whisper_lib
 
     cfg = model.cfg
+    if start_id is None:
+        prompt = model.sot_prompt()
+        eot = model.eot_id() if eot_id is None else eot_id
+    else:
+        prompt = (start_id,)
+        eot = eot_id
     preds = []
     n = mels.shape[0]
     for s in range(0, n, batch_size):
@@ -59,9 +71,9 @@ def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
         real = xs.shape[0]
         if pad:
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)])
-        tok0 = jnp.full((batch_size, 1), start_id, jnp.int32)
-        cache = whisper_lib.init_whisper_cache(cfg, batch_size,
-                                               max_new_tokens + 2)
+        tok0 = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (batch_size, 1))
+        cache = whisper_lib.init_whisper_cache(
+            cfg, batch_size, len(prompt) + max_new_tokens + 2)
         logits, cache, length = model.apply(params, tok0, jnp.asarray(xs),
                                             cache,
                                             method=type(model).prefill)
@@ -72,7 +84,11 @@ def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
                 method=type(model).decode_step)
             toks.append(jnp.argmax(logits, -1).astype(jnp.int32))
         seqs = np.stack([np.asarray(t) for t in toks], axis=1)[:real]
-        for row in seqs:
+        if eot is not None:
+            seqs_list = sampling.trim_at_eot(seqs, eot)
+        else:
+            seqs_list = [list(row) for row in seqs]
+        for row in seqs_list:
             preds.append(tokenizer.decode(list(row), skip_special_tokens=True))
     refs = [normalize(t) for t in sentences]
     preds = [normalize(p) for p in preds]

@@ -232,10 +232,26 @@ class BrainWhisper(nn.Module):
         return loss, logits
 
     def sot_id(self):
-        return self.cfg.n_vocab - 3   # placeholder start-of-transcript id
+        """Start-of-transcript id: the real one when imported from an HF
+        checkpoint (cfg.decoder_start_token_id), else a top-of-vocab
+        placeholder for from-scratch models."""
+        c = self.cfg
+        return (c.decoder_start_token_id if c.decoder_start_token_id >= 0
+                else c.n_vocab - 3)
+
+    def eot_id(self):
+        c = self.cfg
+        return c.eos_token_id if c.eos_token_id >= 0 else c.n_vocab - 2
 
     def pad_id(self):
-        return self.cfg.n_vocab - 1
+        c = self.cfg
+        return c.pad_token if c.pad_token >= 0 else c.n_vocab - 1
+
+    def sot_prompt(self):
+        """Full decoder prompt ids: <|startoftranscript|> plus the HF
+        forced ids (language/task/notimestamps) when known."""
+        return (tuple(self.cfg.sot_sequence) if self.cfg.sot_sequence
+                else (self.sot_id(),))
 
     # ---------------- KV-cached decode ----------------
 
@@ -291,12 +307,29 @@ def params_from_hf_whisper(hf_model):
     sd = {k: np.asarray(v.detach().cpu().numpy())
           for k, v in hf_model.state_dict().items()}
     hc = hf_model.config
+
+    def _tok(name):
+        v = getattr(hc, name, None)
+        return -1 if v is None else int(v)
+
+    # real special tokens + the forced decoder prompt (language/task/
+    # notimestamps), from generation_config when present (newer transformers)
+    # falling back to the model config
+    gen = getattr(hf_model, "generation_config", None)
+    forced = (getattr(gen, "forced_decoder_ids", None) if gen is not None
+              else None) or getattr(hc, "forced_decoder_ids", None) or []
+    sot = _tok("decoder_start_token_id")
+    sot_seq = ((sot,) + tuple(int(t) for _, t in sorted(forced))
+               if sot >= 0 else ())
+
     cfg = WhisperConfig(
         n_mels=hc.num_mel_bins, n_audio_ctx=hc.max_source_positions,
         n_audio_state=hc.d_model, n_audio_head=hc.encoder_attention_heads,
         n_audio_layer=hc.encoder_layers, n_vocab=hc.vocab_size,
         n_text_ctx=hc.max_target_positions, n_text_state=hc.d_model,
-        n_text_head=hc.decoder_attention_heads, n_text_layer=hc.decoder_layers)
+        n_text_head=hc.decoder_attention_heads, n_text_layer=hc.decoder_layers,
+        decoder_start_token_id=sot, eos_token_id=_tok("eos_token_id"),
+        pad_token=_tok("pad_token_id"), sot_sequence=sot_seq)
 
     def t(name):
         return jnp.asarray(sd[name])
