@@ -36,14 +36,22 @@ class _SerializableMixin:
 
     @classmethod
     def from_dict(cls, d: dict):
+        # `from __future__ import annotations` stringifies f.type — resolve
+        # real classes so nested configs rebuild as dataclasses, not dicts
+        import typing
+        hints = typing.get_type_hints(cls)
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name not in d:
                 continue
             v = d[f.name]
-            sub = f.type if dataclasses.is_dataclass(f.type) else None
-            if isinstance(v, dict) and sub is not None:
-                v = sub.from_dict(v)
+            t = hints.get(f.name, f.type)
+            if isinstance(v, dict) and dataclasses.is_dataclass(t):
+                v = t.from_dict(v)
+            elif isinstance(v, list):
+                # JSON/YAML round-trips tuples as lists; frozen configs must
+                # stay hashable (jit statics)
+                v = tuple(v)
             kwargs[f.name] = v
         return cls(**kwargs)
 

@@ -148,3 +148,46 @@ def test_pallas_dense_grads_match_xla():
     gx = jax.grad(lx, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("block", [128, 256])
+def test_pallas_production_tiling_forward_and_grads(block):
+    """Flagship tiling path off-TPU: t a multiple of 1024 so _pick_qblock/
+    _pick_chunk select the production (qb=1024, chunk=1024) schedule and the
+    triangle-pair enumeration + scalar-prefetch index maps run multi-pair
+    programs — regressions here previously only surfaced on real hardware."""
+    assert block_attention._pick_qblock(2048, block) == 1024
+    assert block_attention._pick_chunk(2048, block) == 1024
+
+    rng = np.random.default_rng(9)
+    t, h, d = 2048, 1, 32
+    q, k, v = rand_qkv(rng, 1, t, h, d)
+    ref = attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_mode="slab", tok_per_time=block, impl="xla")
+    out = block_attention.slab_causal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), block, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def lp(q, k, v):
+        return jnp.sum(jnp.sin(block_attention.slab_causal_attention(
+            q, k, v, block, interpret=True)))
+
+    def lx(q, k, v):
+        return jnp.sum(jnp.sin(attention.dot_product_attention(
+            q, k, v, mask_mode="slab", tok_per_time=block, impl="xla")))
+
+    gp = jax.grad(lp, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gx = jax.grad(lx, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_supported_accepts_flagship_shape():
+    """The production gate must admit the flagship geometry (b=128 h=8 t=6144
+    d=32, slab 256) — and reject shapes the kernel can't tile."""
+    q = jnp.zeros((1, 6144, 1, 32), jnp.bfloat16)
+    assert block_attention.supported(q, q, 256, interpret=True)
+    assert not block_attention.supported(q, q, 100, interpret=True)  # %128
+    q2 = jnp.zeros((1, 6000, 1, 32), jnp.bfloat16)                   # t%tile
+    assert not block_attention.supported(q2, q2, 256, interpret=True)

@@ -20,57 +20,113 @@ import json
 from pathlib import Path
 
 
-def build_model(args):
-    import jax.numpy as jnp
-
-    from frankenstein_tpu.config import (FrankyConfig, GPTConfig, MAEConfig,
-                                         PerceiverConfig, VQVAEConfig)
+def make_spec(name, cfg, dtype, window: int = 768):
+    """TrainableSpec for a built model config (args OR YAML path)."""
     from frankenstein_tpu.train.trainer import TrainableSpec
     from frankenstein_tpu.utils import profiling
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    mae_cfg = MAEConfig(window_size=args.window, n_electrodes=args.channels,
-                        patch_size=args.patch)
-
-    if args.model == "franky":
+    if name == "franky":
         from frankenstein_tpu.models.franky import Franky
-        cfg = FrankyConfig(
-            brain=PerceiverConfig(encoder=mae_cfg, n_output_tokens=32,
-                                  output_dim=768),
-            gpt=GPTConfig(dropout=args.dropout))
         return TrainableSpec(
             module=Franky(cfg, dtype=dtype), needs_train_flag=True,
-            rng_names=("dropout",) if args.dropout > 0 else (),
-            flops_per_sample=profiling.franky_fwd_flops_per_sample(cfg)), cfg
-    if args.model == "mae":
+            rng_names=("dropout",) if cfg.gpt.dropout > 0 else (),
+            flops_per_sample=profiling.franky_fwd_flops_per_sample(cfg))
+    if name == "mae":
         from frankenstein_tpu.models.brainformer import MAE
         return TrainableSpec(
-            module=MAE(mae_cfg, dtype=dtype),
+            module=MAE(cfg, dtype=dtype),
             rng_names=("mask",), needs_labels=False,
-            flops_per_sample=profiling.mae_fwd_flops_per_sample(mae_cfg)), mae_cfg
-    if args.model == "brainformer":
+            flops_per_sample=profiling.mae_fwd_flops_per_sample(cfg))
+    if name == "brainformer":
         from frankenstein_tpu.models.brainformer import BrainFormer
-        cfg = PerceiverConfig(encoder=mae_cfg, n_output_tokens=25,
-                              output_dim=50257)
-        return TrainableSpec(module=BrainFormer(cfg, dtype=dtype)), cfg
-    if args.model == "simple_mae":
-        from frankenstein_tpu.config import SimpleEncoderConfig, SimpleMAEConfig
+        return TrainableSpec(module=BrainFormer(cfg, dtype=dtype))
+    if name == "simple_mae":
         from frankenstein_tpu.models.simple_mae import SimpleMAE
-        ec = SimpleEncoderConfig(block_size=args.window,
-                                 patch_size=args.channels)
-        dc = SimpleMAEConfig()
+        ec, dc = cfg
         return TrainableSpec(module=SimpleMAE(ec, dc, dtype=dtype),
-                             rng_names=("mask",), needs_labels=False), (ec, dc)
-    if args.model == "vqvae":
+                             rng_names=("mask",), needs_labels=False)
+    if name == "vqvae":
         from frankenstein_tpu.models.vq_brain import SoundStream
-        cfg = VQVAEConfig(n_electrodes=args.channels)
         return TrainableSpec(
             module=SoundStream(cfg, dtype=dtype),
             rng_names=("vq",), mutable=("vq",),
             needs_train_flag=True, needs_labels=False,
             flops_per_sample=profiling.vqvae_fwd_flops_per_sample(
-                cfg, t=args.window)), cfg
+                cfg, t=window))
+    raise SystemExit(f"unknown model {name}")
+
+
+def config_from_args(args):
+    """Model config from CLI geometry flags (the no-YAML path)."""
+    from frankenstein_tpu.config import (FrankyConfig, GPTConfig, MAEConfig,
+                                         PerceiverConfig, SimpleEncoderConfig,
+                                         SimpleMAEConfig, VQVAEConfig)
+    mae_cfg = MAEConfig(window_size=args.window, n_electrodes=args.channels,
+                        patch_size=args.patch)
+    if args.model == "franky":
+        return FrankyConfig(
+            brain=PerceiverConfig(encoder=mae_cfg, n_output_tokens=32,
+                                  output_dim=768),
+            gpt=GPTConfig(dropout=args.dropout))
+    if args.model == "mae":
+        return mae_cfg
+    if args.model == "brainformer":
+        return PerceiverConfig(encoder=mae_cfg, n_output_tokens=25,
+                               output_dim=50257)
+    if args.model == "simple_mae":
+        return (SimpleEncoderConfig(block_size=args.window,
+                                    patch_size=args.channels),
+                SimpleMAEConfig())
+    if args.model == "vqvae":
+        return VQVAEConfig(n_electrodes=args.channels)
     raise SystemExit(f"unknown model {args.model}")
+
+
+MODEL_CONFIG_CLASSES = {
+    "franky": "FrankyConfig",
+    "mae": "MAEConfig",
+    "brainformer": "PerceiverConfig",
+    "vqvae": "VQVAEConfig",
+}
+
+
+def config_from_yaml(doc):
+    """(model name, model config) from a parsed YAML document; nested
+    sections round-trip through each config's _SerializableMixin."""
+    import frankenstein_tpu.config as cfg_lib
+
+    name = doc["model"]
+    mc = doc.get("model_config", {})
+    if name == "simple_mae":
+        return name, (cfg_lib.SimpleEncoderConfig.from_dict(mc.get("encoder", {})),
+                      cfg_lib.SimpleMAEConfig.from_dict(mc.get("decoder", {})))
+    cls = getattr(cfg_lib, MODEL_CONFIG_CLASSES[name])
+    return name, cls.from_dict(mc)
+
+
+def build_model(args):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.config:
+        import yaml
+        doc = yaml.safe_load(Path(args.config).read_text())
+        args.yaml_train = doc.get("train", {})
+        name, cfg = config_from_yaml(doc)
+        args.model = name
+        # geometry for the data pipeline follows the YAML model
+        if name in ("franky", "brainformer"):
+            args.window = cfg.brain.encoder.window_size if name == "franky" \
+                else cfg.encoder.window_size
+            args.channels = cfg.brain.encoder.n_electrodes if name == "franky" \
+                else cfg.encoder.n_electrodes
+        elif name == "mae":
+            args.window, args.channels = cfg.window_size, cfg.n_electrodes
+        elif name == "vqvae":
+            args.channels = cfg.n_electrodes
+    else:
+        cfg = config_from_args(args)
+    return make_spec(args.model, cfg, dtype, window=args.window), cfg
 
 
 def build_datasets(args):
@@ -97,6 +153,9 @@ def build_datasets(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="YAML config (see configs/); explicitly passed CLI "
+                        "flags override its train section")
     p.add_argument("--model", default="franky",
                    choices=["franky", "mae", "brainformer", "vqvae",
                             "simple_mae"])
@@ -134,11 +193,12 @@ def main():
 
     maybe_initialize_distributed()
 
+    args.yaml_train = {}
     spec, model_cfg = build_model(args)
     datasets_ = build_datasets(args)
     mesh_shape = (tuple(int(s) for s in args.mesh.split(","))
                   if args.mesh else None)
-    cfg = TrainConfig(
+    cli_values = dict(
         exp_name=args.exp_name or f"{args.model}_{args.data.split('/')[-1]}",
         batch_size=args.batch_size, grad_accum=args.grad_accum,
         learning_rate=args.lr, weight_decay=args.weight_decay,
@@ -146,6 +206,27 @@ def main():
         max_steps=args.steps, eval_interval=args.eval_interval,
         warmup_iters=args.warmup, lr_decay_iters=args.decay_iters,
         mixed_precision=args.bf16, mesh_shape=mesh_shape)
+    if args.config:
+        # YAML train section is the base; only explicitly typed CLI flags win
+        import sys
+        flag_to_field = {
+            "exp_name": "exp_name", "batch_size": "batch_size",
+            "grad_accum": "grad_accum", "lr": "learning_rate",
+            "weight_decay": "weight_decay", "wd_mask": "weight_decay_mask",
+            "p_augs": "p_augs", "steps": "max_steps",
+            "eval_interval": "eval_interval", "warmup": "warmup_iters",
+            "decay_iters": "lr_decay_iters", "bf16": "mixed_precision",
+            "no_bf16": "mixed_precision", "mesh": "mesh_shape"}
+        typed = {a.split("=")[0].lstrip("-").replace("-", "_")
+                 for a in sys.argv[1:] if a.startswith("--")}
+        cfg = TrainConfig.from_dict(args.yaml_train)
+        overrides = {field: cli_values[field]
+                     for flag, field in flag_to_field.items() if flag in typed}
+        if "exp_name" not in args.yaml_train and "exp_name" not in overrides:
+            overrides["exp_name"] = cli_values["exp_name"]
+        cfg = cfg.replace(**overrides)
+    else:
+        cfg = TrainConfig(**cli_values)
 
     save = Path(args.save_folder)
     state = run_train_model(spec, datasets_, cfg, project_name="frankenstein_tpu",
