@@ -82,6 +82,21 @@ def _row_mask(i, block: int, t: int):
     return (col // block) <= i
 
 
+def _slab_mask(i, c, shape, *, block: int, qb: int, chunk: int):
+    """[QB, C] bool slab mask from 1D iotas (2 VPU sweeps over the score tile
+    instead of 6): allowed(r, j) <=> slab(col_j) <= slab(row_r) <=>
+    col_j < (slab(row_r)+1)*block. Rows are [i*qb, i*qb+qb), cols
+    [c*chunk, c*chunk+chunk); everything except the broadcasted compare is
+    O(qb + chunk) arithmetic on thin iotas. (A scalar-cond skip of the mask on
+    off-diagonal chunks was measured SLOWER — Mosaic executes both branches —
+    so the mask runs unconditionally but cheap.)"""
+    qb_, c_ = shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (qb_, 1), 0) + i * qb
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, c_), 1) + c * chunk
+    row_end = (row // block + 1) * block     # first forbidden column, per row
+    return col < row_end
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -129,10 +144,23 @@ def _triangle_pairs(t: int, block: int, qb: int, chunk: int,
             np.asarray(last_, np.int32))
 
 
-def _fwd_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
-                    o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                    *, block: int, qb: int, chunk: int, scale: float,
-                    causal: bool = True):
+def _pos_mask(pr_ref, pc_ref, *, block: int):
+    """[QB, C] bool mask from gathered token positions: allowed(r, j) <=>
+    slab(pos_col_j) <= slab(pos_row_r). Row positions arrive as a [QB, 1]
+    tile, column positions as a [1, C] tile — one broadcasted compare."""
+    pr = pr_ref[0]                             # [QB, 1] int32
+    pc = pc_ref[0]                             # [1, C]  int32
+    return (pc // block) <= (pr // block)
+
+
+def _fwd_tri_kernel(i_ref, c_ref, last_ref, *refs,
+                    block: int, qb: int, chunk: int, scale: float,
+                    causal: bool = True, pos: bool = False):
+    if pos:
+        (q_ref, k_ref, v_ref, pr_ref, pc_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     p = pl.program_id(1)
     i = i_ref[p]
     c = c_ref[p]
@@ -149,10 +177,10 @@ def _fwd_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
     s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if causal:
-        # slab-causal mask from absolute positions (bites near the diagonal)
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
-        s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+        s = jnp.where(_slab_mask(i, c, s.shape, block=block, qb=qb,
+                                 chunk=chunk), s, NEG_INF)
+    elif pos:
+        s = jnp.where(_pos_mask(pr_ref, pc_ref, block=block), s, NEG_INF)
 
     m_prev = m_scr[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -247,9 +275,8 @@ def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
     s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * qb
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c * chunk
-        s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+        s = jnp.where(_slab_mask(i, c, s.shape, block=block, qb=qb,
+                                 chunk=chunk), s, NEG_INF)
     pexp = jnp.exp(s - lse)                                        # [QB, C]
     dp = jax.lax.dot_general(do, vc, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)   # [QB, C]
@@ -305,9 +332,9 @@ def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
     s = jax.lax.dot_general(qc, kj, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + c * qchunk
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kb
-        s = jnp.where((col // block) <= (row // block), s, NEG_INF)
+        # rows are the q-chunk, cols the kv-block (transposed triangle)
+        s = jnp.where(_slab_mask(c, j, s.shape, block=block, qb=qchunk,
+                                 chunk=kb), s, NEG_INF)
     pexp = jnp.exp(s - lse)                                        # [QC, KB]
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
         pexp.astype(doc.dtype), doc, (((0,), (0,)), ((), ())),
