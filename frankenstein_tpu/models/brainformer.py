@@ -105,14 +105,20 @@ class Encoder(nn.Module):
         return self.ln_f(tok)
 
     def forward_subset(self, patches, positions, rope_cache, date_info=None):
-        """Encode only kept tokens (MAE path). positions: [B, N] int32."""
+        """Encode only kept tokens (MAE path). positions: [B, N] int32,
+        sorted ascending (MAE keeps ``jnp.sort``-ed indices).
+
+        Attention runs in ``gathered_slab`` mode: the Pallas kernel computes
+        the slab mask from position tiles in VMEM when supported, else the
+        XLA path builds the [B, N, N] mask on the fly — either way no
+        materialized T^2 matrix is gathered
+        (reference:models/brainformer.py:392-413 gathers one)."""
         c = self.cfg
         tok = self.embed_tokens(patches, positions, date_info=date_info)
-        sub_mask = mask_lib.block_causal_mask_from_positions(
-            positions, positions, c.n_electrodes)
         rope = rope_ops.rope_for_positions(rope_cache, positions)
         for block in self.h:
-            tok = block(tok, mask=sub_mask, rope=rope)
+            tok = block(tok, mask_mode="gathered_slab", positions=positions,
+                        tok_per_time=c.n_electrodes, rope=rope)
         return self.ln_f(tok)
 
 

@@ -83,7 +83,7 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
-                 rope=None, impl="auto"):
+                 positions=None, rope=None, impl="auto"):
         b, t, _ = x.shape
         inner = self.n_heads * self.head_dim
         dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
@@ -99,7 +99,7 @@ class SelfAttention(nn.Module):
 
         out = attn_ops.dot_product_attention(
             q, k, v, mask=mask, mask_mode=mask_mode,
-            tok_per_time=tok_per_time, impl=impl)
+            tok_per_time=tok_per_time, positions=positions, impl=impl)
         out = out.reshape(b, t, inner)
         return dense(self.dim, "project")(out)
 
@@ -139,14 +139,15 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
-                 rope=None, impl="auto"):
+                 positions=None, rope=None, impl="auto"):
         attn = SelfAttention(self.dim, self.n_heads, self.head_dim,
                              dtype=self.dtype, rope_align=self.rope_align,
                              name="attn")
         mlp = SwiGLU(self.dim, self.hidden_dim, dtype=self.dtype, name="mlp")
         x = x + attn(make_norm(self.norm, self.dim, "ln_1")(x),
                      mask=mask, mask_mode=mask_mode,
-                     tok_per_time=tok_per_time, rope=rope, impl=impl)
+                     tok_per_time=tok_per_time, positions=positions,
+                     rope=rope, impl=impl)
         x = x + mlp(make_norm(self.norm, self.dim, "ln_2")(x))
         return x
 

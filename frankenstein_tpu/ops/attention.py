@@ -52,12 +52,33 @@ def dot_product_attention(
     mask: Optional[jnp.ndarray] = None,
     mask_mode: Optional[str] = None,
     tok_per_time: int = 0,
+    positions: Optional[jnp.ndarray] = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Attention over [B, T, H, D] tensors. Returns [B, Tq, H, D].
 
     Softmax statistics are fp32 regardless of input dtype (bf16-safe).
+    ``mask_mode="gathered_slab"`` + ``positions`` ([B, T] int32, sorted):
+    slab-causality of a gathered token subset computed from original
+    positions (the MAE kept-token path) — Pallas kernel when supported,
+    else an XLA fallback with an on-the-fly [B, T, T] mask.
     """
+    if mask_mode == "gathered_slab":
+        assert positions is not None and tok_per_time > 0
+        from frankenstein_tpu.ops.pallas import block_attention
+        if (impl in ("auto", "pallas") and mask is None
+                and q.shape[1] == k.shape[1]
+                and block_attention.gathered_supported(
+                    q, tok_per_time, interpret=(impl == "pallas"))):
+            return block_attention.gathered_slab_attention(
+                q, k, v, positions, tok_per_time, interpret=(impl == "pallas"))
+        from frankenstein_tpu.ops import masks as _masks
+        sub = _masks.block_causal_mask_from_positions(positions, positions,
+                                                      tok_per_time)
+        combined = sub if mask is None else (
+            _broadcast_mask(mask, *q.shape[:2], k.shape[1])[:, 0] & sub)
+        return _xla_attention(q, k, v, mask=combined)
+
     if impl == "auto":
         impl = "xla"
         if mask is None and mask_mode in ("slab", None):

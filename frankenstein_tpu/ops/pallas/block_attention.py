@@ -200,26 +200,53 @@ def _fwd_tri_kernel(i_ref, c_ref, last_ref, *refs,
 
 
 def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool,
-         causal: bool = True):
+         causal: bool = True, pos=None, nh: int = 1, try_pack: bool = False):
     """Triangle-grid flash forward: one program per causal (q-superblock,
     kv-chunk) pair — no wasted programs, no skipped-chunk DMA. Pair indices
-    arrive via scalar prefetch and drive the block index maps."""
+    arrive via scalar prefetch and drive the block index maps.
+
+    ``pos`` (MAE kept-token path): (pos_r [B, N, 1], pos_c [B, 1, N]) int32
+    gathered SORTED token positions; the slab mask is then computed from the
+    loaded position tiles instead of iotas, and every (q-block, kv-chunk)
+    pair is scheduled (the data-dependent staircase can't be pruned on the
+    host). ``nh`` maps the flattened batch*heads grid axis back to the
+    positions' batch axis."""
     from jax.experimental.pallas import tpu as pltpu
 
     bh, t, d = q3.shape
+    use_pos = pos is not None
+    if try_pack and not use_pos:
+        plan = _pack_plan(t, d, nh, block if causal else 0)
+        if plan is not None and (_packed_resident_bytes(
+                t, d, jnp.dtype(q3.dtype).itemsize, plan) < VMEM_BUDGET):
+            return _fwd_packed(q3, k3, v3, block=block, scale=scale,
+                               interpret=interpret, causal=causal, nh=nh,
+                               plan=plan)
     chunk = _pick_chunk(t, block)
     qb = _pick_qblock(t, block)
-    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk, causal)
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk,
+                                             causal and not use_pos)
     n_pairs = len(i_arr)
+
+    in_specs = [
+        pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+        pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+        pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+    ]
+    inputs = [q3, k3, v3]
+    if use_pos:
+        in_specs += [
+            pl.BlockSpec((1, qb, 1),
+                         lambda b, p, i_r, c_r, l_r: (b // nh, i_r[p], 0)),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda b, p, i_r, c_r, l_r: (b // nh, 0, c_r[p])),
+        ]
+        inputs += list(pos)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bh, n_pairs),
-        in_specs=[
-            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
-            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
-            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
             pl.BlockSpec((1, 1, t), lambda b, p, i_r, c_r, l_r: (b, 0, 0)),
@@ -232,7 +259,8 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool,
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_tri_kernel, block=block, qb=qb, chunk=chunk,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=causal and not use_pos,
+                          pos=use_pos),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
@@ -245,7 +273,7 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool,
         ),
         interpret=interpret,
     )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
-      q3, k3, v3)
+      *inputs)
     return out, lse
 
 
@@ -253,10 +281,15 @@ def _fwd(q3, k3, v3, *, block: int, scale: float, interpret: bool,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
-                       lse_ref, delta_ref, dq_ref, dq_scr,
-                       *, block: int, qb: int, chunk: int, scale: float,
-                       causal: bool = True):
+def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, *refs,
+                       block: int, qb: int, chunk: int, scale: float,
+                       causal: bool = True, pos: bool = False):
+    if pos:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, pr_ref, pc_ref,
+         dq_ref, dq_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_scr) = refs
     p = pl.program_id(1)
     i = i_ref[p]
     c = c_ref[p]
@@ -277,6 +310,8 @@ def _bwd_dq_tri_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref, do_ref,
     if causal:
         s = jnp.where(_slab_mask(i, c, s.shape, block=block, qb=qb,
                                  chunk=chunk), s, NEG_INF)
+    elif pos:
+        s = jnp.where(_pos_mask(pr_ref, pc_ref, block=block), s, NEG_INF)
     pexp = jnp.exp(s - lse)                                        # [QB, C]
     dp = jax.lax.dot_general(do, vc, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)   # [QB, C]
@@ -308,11 +343,15 @@ def _triangle_pairs_kv(t: int, block: int, kb: int, qchunk: int,
             np.asarray(first_, np.int32), np.asarray(last_, np.int32))
 
 
-def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
-                        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                        dk_ref, dv_ref, dk_scr, dv_scr,
-                        *, block: int, kb: int, qchunk: int, scale: float,
-                        causal: bool = True):
+def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref, *refs,
+                        block: int, kb: int, qchunk: int, scale: float,
+                        causal: bool = True, pos: bool = False):
+    if pos:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, pr_ref, pc_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
     p = pl.program_id(1)
     j = j_ref[p]
     c = c_ref[p]
@@ -335,6 +374,8 @@ def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
         # rows are the q-chunk, cols the kv-block (transposed triangle)
         s = jnp.where(_slab_mask(c, j, s.shape, block=block, qb=qchunk,
                                  chunk=kb), s, NEG_INF)
+    elif pos:
+        s = jnp.where(_pos_mask(pr_ref, pc_ref, block=block), s, NEG_INF)
     pexp = jnp.exp(s - lse)                                        # [QC, KB]
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
         pexp.astype(doc.dtype), doc, (((0,), (0,)), ((), ())),
@@ -353,7 +394,7 @@ def _bwd_dkv_tri_kernel(j_ref, c_ref, first_ref, last_ref,
 
 
 def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float,
-         interpret: bool, causal: bool = True):
+         interpret: bool, causal: bool = True, pos=None, nh: int = 1):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, t, d = q3.shape
@@ -363,50 +404,74 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float,
     chunk = _pick_chunk(t, block)
     qb = _pick_qblock(t, block)
     vec = pl.BlockSpec((1, 1, t), lambda b, p, *refs: (b, 0, 0))
+    use_pos = pos is not None
+    tri_causal = causal and not use_pos
 
     # ---- dq: same triangle as forward -----------------------------------
-    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk, causal)
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk, tri_causal)
+    dq_in_specs = [
+        pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+        pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+        pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+        pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+        vec, vec,
+    ]
+    dq_inputs = [q3, k3, v3, do3, lse, delta]
+    if use_pos:
+        dq_in_specs += [
+            pl.BlockSpec((1, qb, 1),
+                         lambda b, p, i_r, c_r, l_r: (b // nh, i_r[p], 0)),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda b, p, i_r, c_r, l_r: (b // nh, 0, c_r[p])),
+        ]
+        dq_inputs += list(pos)
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bh, len(i_arr)),
-        in_specs=[
-            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
-            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
-            pl.BlockSpec((1, chunk, d), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
-            pl.BlockSpec((1, qb, d), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
-            vec, vec,
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, qb, d),
                                lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
         scratch_shapes=[pltpu.VMEM((qb, d), jnp.float32)],
     )
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_tri_kernel, block=block, qb=qb, chunk=chunk,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=tri_causal, pos=use_pos),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q3.dtype),
         interpret=interpret,
     )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
-      q3, k3, v3, do3, lse, delta)
+      *dq_inputs)
 
     # ---- dk/dv: transposed triangle --------------------------------------
     kb, qchunk = qb, chunk
     j_arr, qc_arr, first_arr, last2_arr = _triangle_pairs_kv(t, block, kb,
-                                                             qchunk, causal)
+                                                             qchunk,
+                                                             tri_causal)
+    dkv_in_specs = [
+        pl.BlockSpec((1, qchunk, d),
+                     lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0)),
+        pl.BlockSpec((1, kb, d),
+                     lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
+        pl.BlockSpec((1, kb, d),
+                     lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
+        pl.BlockSpec((1, qchunk, d),
+                     lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0)),
+        vec, vec,
+    ]
+    dkv_inputs = [q3, k3, v3, do3, lse, delta]
+    if use_pos:
+        # rows are the q-chunk (positions indexed by c), cols the kv-block (j)
+        dkv_in_specs += [
+            pl.BlockSpec((1, qchunk, 1),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b // nh, c_r[p], 0)),
+            pl.BlockSpec((1, 1, kb),
+                         lambda b, p, j_r, c_r, f_r, l_r: (b // nh, 0, j_r[p])),
+        ]
+        dkv_inputs += list(pos)
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(bh, len(j_arr)),
-        in_specs=[
-            pl.BlockSpec((1, qchunk, d),
-                         lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0)),
-            pl.BlockSpec((1, kb, d),
-                         lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
-            pl.BlockSpec((1, kb, d),
-                         lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
-            pl.BlockSpec((1, qchunk, d),
-                         lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0)),
-            vec, vec,
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec((1, kb, d),
                          lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0)),
@@ -418,13 +483,14 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float,
     )
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_tri_kernel, block=block, kb=kb,
-                          qchunk=qchunk, scale=scale, causal=causal),
+                          qchunk=qchunk, scale=scale, causal=tri_causal,
+                          pos=use_pos),
         grid_spec=dkv_spec,
         out_shape=[jax.ShapeDtypeStruct((bh, t, d), k3.dtype),
                    jax.ShapeDtypeStruct((bh, t, d), v3.dtype)],
         interpret=interpret,
     )(jnp.asarray(j_arr), jnp.asarray(qc_arr), jnp.asarray(first_arr),
-      jnp.asarray(last2_arr), q3, k3, v3, do3, lse, delta)
+      jnp.asarray(last2_arr), *dkv_inputs)
     return dq, dk, dv
 
 
@@ -432,22 +498,25 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float,
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _slab_attention(q3, k3, v3, block: int, interpret: bool, causal: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _slab_attention(q3, k3, v3, block: int, interpret: bool, causal: bool,
+                    nh: int = 1):
     scale = 1.0 / (q3.shape[-1] ** 0.5)
     out, _ = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret,
-                  causal=causal)
+                  causal=causal, nh=nh, try_pack=True)
     return out
 
 
-def _slab_attention_fwd(q3, k3, v3, block: int, interpret: bool, causal: bool):
+def _slab_attention_fwd(q3, k3, v3, block: int, interpret: bool, causal: bool,
+                        nh: int = 1):
     scale = 1.0 / (q3.shape[-1] ** 0.5)
     out, lse = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret,
-                    causal=causal)
+                    causal=causal, nh=nh, try_pack=True)
     return out, (q3, k3, v3, out, lse)
 
 
-def _slab_attention_bwd(block: int, interpret: bool, causal: bool, res, do3):
+def _slab_attention_bwd(block: int, interpret: bool, causal: bool, nh: int,
+                        res, do3):
     q3, k3, v3, out, lse = res
     scale = 1.0 / (q3.shape[-1] ** 0.5)
     dq, dk, dv = _bwd(q3, k3, v3, out, do3, lse,
@@ -459,13 +528,258 @@ def _slab_attention_bwd(block: int, interpret: bool, causal: bool, res, do3):
 _slab_attention.defvjp(_slab_attention_fwd, _slab_attention_bwd)
 
 
+# ---------------------------------------------------------------------------
+# head-packed forward (v4): 4 heads per program via block-diagonal K staging
+# ---------------------------------------------------------------------------
+#
+# head_dim=32 caps both dots at 1/4 of the MXU (contraction resp. output
+# lanes pad 32 -> 128). Packing P=128/d heads into one program restores full
+# depth: Q rows carry P heads side by side in lanes (the natural [.., P*D]
+# layout), K is staged block-diagonally in VMEM ([P*C, 128], head h's keys in
+# lane band h) so ONE dot yields all P heads' scores segment-by-segment
+# ([QB, P*C]); the AV dot runs per head against a band-masked V (full K
+# depth). Measured on v5e at the flagship shape: 89 ms vs 120 ms for the
+# per-head d=32 kernel, output bit-identical. Sweep: (qb=512, chunk=1024)
+# best; qb=1024 variants exceed VMEM (the f32 score scratch doubles), P=8
+# packs are slower (256-lane tiles).
+
+PACK_LANES = 128
+
+
+def _pack_plan(t: int, d: int, nh: int, block: int):
+    """Return (P, qb, chunk) for the packed forward, or None if the shape
+    can't ride it (falls back to the per-head triangle kernel)."""
+    if d <= 0 or PACK_LANES % d != 0 or d == PACK_LANES:
+        return None
+    p = PACK_LANES // d
+    if nh % p != 0:
+        return None
+    qb, chunk = 512, 1024
+    if t % chunk != 0:
+        return None
+    if block > 0 and (qb % block != 0 or chunk % block != 0):
+        return None
+    return p, qb, chunk
+
+
+def _fwd_packed_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
+                       o_ref, lse_ref, *scr,
+                       block: int, qb: int, chunk: int, scale: float,
+                       d: int, npack: int, causal: bool):
+    s_scr, acc_scr = scr[0], scr[1]
+    m_scrs, l_scrs = scr[2:2 + npack], scr[2 + npack:2 + 2 * npack]
+    pd = npack * d
+    p = pl.program_id(1)
+    i = i_ref[p]
+    c = c_ref[p]
+
+    @pl.when(c == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        for h in range(npack):
+            m_scrs[h][...] = jnp.full_like(m_scrs[h], -jnp.inf)
+            l_scrs[h][...] = jnp.zeros_like(l_scrs[h])
+
+    q = q_ref[0]                                   # [QB, P*D]
+    kc = k_ref[0]                                  # [C,  P*D]
+    vc = v_ref[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 1)
+    kbd = jnp.where((sub // chunk) == (lane2 // d),
+                    jnp.tile(kc, (npack, 1)), 0).astype(kc.dtype)
+    s_scr[...] = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [QB, P*C]
+
+    if causal:
+        allowed = _slab_mask(i, c, (qb, chunk), block=block, qb=qb,
+                             chunk=chunk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, pd), 1) // d
+    for h in range(npack):
+        sh = s_scr[:, h * chunk:(h + 1) * chunk]
+        if causal:
+            sh = jnp.where(allowed, sh, NEG_INF)
+        m_prev = m_scrs[h][...]
+        m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
+        pexp_h = jnp.exp(sh - m_new)
+        alpha_h = jnp.exp(m_prev - m_new)
+        l_scrs[h][...] = (l_scrs[h][...] * alpha_h
+                          + jnp.sum(pexp_h, axis=-1, keepdims=True))
+        m_scrs[h][...] = m_new
+        vbd_h = jnp.where(lane == h, vc, 0).astype(vc.dtype)   # [C, P*D]
+        blend = jnp.where(lane == h, alpha_h, 1.0)             # [QB, P*D]
+        acc_scr[...] = acc_scr[...] * blend + jax.lax.dot_general(
+            pexp_h.astype(vc.dtype), vbd_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize():
+        l_band = jnp.zeros((qb, pd), jnp.float32)
+        for h in range(npack):
+            l_band = l_band + jnp.where(lane == h, l_scrs[h][...], 0.0)
+        o_ref[0] = (acc_scr[...] / l_band).astype(o_ref.dtype)
+        for h in range(npack):
+            lse_ref[0, h, pl.ds(i * qb, qb)] = (
+                m_scrs[h][...] + jnp.log(l_scrs[h][...]))[:, 0]
+
+
+def _fwd_packed(q3, k3, v3, *, block: int, scale: float, interpret: bool,
+                causal: bool, nh: int, plan):
+    """Packed forward on [BH, T, D] inputs; returns the same (out, lse)
+    layout as ``_fwd``. Repacks to [BH/P, T, P*D] (consecutive bh rows are
+    the same batch element's heads, so grouping by P respects nh % P == 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    npack, qb, chunk = plan
+    bh, t, d = q3.shape
+    nb = bh // npack
+    pd = npack * d
+
+    def pack(x):
+        x = x.reshape(nb, npack, t, d)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(nb, t, pd)
+
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block if causal else chunk,
+                                             qb, chunk, causal)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, len(i_arr)),
+        in_specs=[
+            pl.BlockSpec((1, qb, pd), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, chunk, pd), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+            pl.BlockSpec((1, chunk, pd), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qb, pd), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, npack, t), lambda b, p, i_r, c_r, l_r: (b, 0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((qb, npack * chunk), jnp.float32),
+             pltpu.VMEM((qb, pd), jnp.float32)]
+            + [pltpu.VMEM((qb, 1), jnp.float32) for _ in range(2 * npack)]),
+    )
+    out4, lse4 = pl.pallas_call(
+        functools.partial(_fwd_packed_kernel, block=block, qb=qb, chunk=chunk,
+                          scale=scale, d=d, npack=npack, causal=causal),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, t, pd), q3.dtype),
+            jax.ShapeDtypeStruct((nb, npack, t), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * nb * len(i_arr) * qb * npack * chunk * d),
+            bytes_accessed=int(4 * bh * t * d * 4),
+            transcendentals=int(nb * len(i_arr) * qb * npack * chunk),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
+      pack(q3), pack(k3), pack(v3))
+
+    out = jnp.transpose(out4.reshape(nb, t, npack, d),
+                        (0, 2, 1, 3)).reshape(bh, t, d)
+    lse = lse4.reshape(bh, t)[:, None, :]
+    return out, lse
+
+
+def _packed_resident_bytes(t, d, itemsize, plan):
+    npack, qb, chunk = plan
+    pd = npack * d
+    return (2 * (qb + 2 * chunk) * pd * itemsize      # q + k/v chunks (db)
+            + qb * npack * chunk * 4                  # f32 score scratch
+            + npack * chunk * pd * itemsize * 2       # kbd/vbd staging
+            + qb * pd * 4                             # acc
+            + npack * t * 4)                          # lse row
+
+
+# ---------------------------------------------------------------------------
+# gathered-subset (MAE kept-token) variant: mask from SORTED token positions
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gathered_attention(q3, k3, v3, pos_r, pos_c, block: int, nh: int,
+                        interpret: bool):
+    scale = 1.0 / (q3.shape[-1] ** 0.5)
+    out, _ = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret,
+                  causal=False, pos=(pos_r, pos_c), nh=nh)
+    return out
+
+
+def _gathered_attention_fwd(q3, k3, v3, pos_r, pos_c, block, nh, interpret):
+    scale = 1.0 / (q3.shape[-1] ** 0.5)
+    out, lse = _fwd(q3, k3, v3, block=block, scale=scale, interpret=interpret,
+                    causal=False, pos=(pos_r, pos_c), nh=nh)
+    return out, (q3, k3, v3, pos_r, pos_c, out, lse)
+
+
+def _gathered_attention_bwd(block, nh, interpret, res, do3):
+    q3, k3, v3, pos_r, pos_c, out, lse = res
+    scale = 1.0 / (q3.shape[-1] ** 0.5)
+    dq, dk, dv = _bwd(q3, k3, v3, out, do3, lse, block=block, scale=scale,
+                      interpret=interpret, causal=False, pos=(pos_r, pos_c),
+                      nh=nh)
+    return dq, dk, dv, None, None
+
+
+_gathered_attention.defvjp(_gathered_attention_fwd, _gathered_attention_bwd)
+
+
+def gathered_supported(q: jnp.ndarray, tok_per_time: int,
+                       interpret: bool = False) -> bool:
+    """Gate for the gathered-positions kernel (caller falls back to the XLA
+    path with a dense [B, N, N] mask when False)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if tok_per_time <= 0:
+        return False
+    b, n, h, d = q.shape
+    if d > 256 or n % 128 != 0:
+        return False
+    qb = _pick_qblock(n, 128)
+    chunk = _pick_chunk(n, 128)
+    if n % qb != 0 or n % chunk != 0:
+        return False
+    itemsize = jnp.dtype(q.dtype).itemsize
+    lanes_d = max(d, 128)
+    resident = (2 * (qb + chunk) * lanes_d * itemsize
+                + qb * chunk * (4 + itemsize)
+                + 3 * qb * lanes_d * 4
+                + 2 * n * 4)
+    return resident < VMEM_BUDGET
+
+
+def gathered_slab_attention(q, k, v, positions, tok_per_time: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Flash attention over a GATHERED token subset under slab-causality
+    computed from original positions: allowed(i, j) <=> slab(positions[j]) <=
+    slab(positions[i]). This is the MAE kept-token path — the reference
+    gathers a materialized T^2 mask submatrix
+    (reference:models/brainformer.py:392-413); the XLA fallback materializes
+    a [B, N, N] boolean mask; here the mask is two position tiles compared
+    inside the kernel and scores never reach HBM.
+
+    q/k/v: [B, N, H, D]; positions: [B, N] int32, SORTED ascending per row
+    (MAE keeps ``jnp.sort``-ed indices) — sortedness guarantees every query
+    row finds an allowed key in the first kv-chunk, keeping the online
+    softmax NaN-free.
+    """
+    b, n, h, d = q.shape
+    to3 = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, d)
+    pos = positions.astype(jnp.int32)
+    # slab ids, not raw positions, so the in-kernel compare is a single op
+    slab = pos // tok_per_time
+    out3 = _gathered_attention(to3(q), to3(k), to3(v),
+                               slab[:, :, None], slab[:, None, :],
+                               1, h, interpret)
+    return jnp.transpose(out3.reshape(b, h, n, d), (0, 2, 1, 3))
+
+
 def slab_causal_attention(q, k, v, tok_per_time: int,
                           interpret: bool = False) -> jnp.ndarray:
     """Flash attention under slab-causality. q/k/v: [B, T, H, D] -> [B, T, H, D]."""
     b, t, h, d = q.shape
     to3 = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
     out3 = _slab_attention(to3(q), to3(k), to3(v), tok_per_time, interpret,
-                           True)
+                           True, h)
     return jnp.transpose(out3.reshape(b, h, t, d), (0, 2, 1, 3))
 
 
@@ -476,5 +790,5 @@ def dense_flash_attention(q, k, v, tile: int = 256,
     materialize [B, H, T, T] scores in HBM (77 GB at batch 64)."""
     b, t, h, d = q.shape
     to3 = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
-    out3 = _slab_attention(to3(q), to3(k), to3(v), tile, interpret, False)
+    out3 = _slab_attention(to3(q), to3(k), to3(v), tile, interpret, False, h)
     return jnp.transpose(out3.reshape(b, h, t, d), (0, 2, 1, 3))

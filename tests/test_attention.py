@@ -183,6 +183,112 @@ def test_pallas_production_tiling_forward_and_grads(block):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_packed_forward_matches_xla():
+    """Head-packed (P=4, blockdiag-K) forward path: shapes with h%4==0,
+    d=32, t%1024==0 ride the packed kernel (bit-identical to the per-head
+    kernel on TPU; here vs the XLA oracle in interpret mode), fwd + grads."""
+    rng = np.random.default_rng(13)
+    t, p, h, d = 2048, 256, 4, 32
+    assert block_attention._pack_plan(t, d, h, p) == (4, 512, 1024)
+    q, k, v = rand_qkv(rng, 1, t, h, d)
+    ref = attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_mode="slab", tok_per_time=p, impl="xla")
+    out = block_attention.slab_causal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), p, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # grads: packed fwd emits the lse the (per-head) backward consumes
+    def lp(q, k, v):
+        return jnp.sum(jnp.sin(block_attention.slab_causal_attention(
+            q, k, v, p, interpret=True)))
+
+    def lx(q, k, v):
+        return jnp.sum(jnp.sin(attention.dot_product_attention(
+            q, k, v, mask_mode="slab", tok_per_time=p, impl="xla")))
+
+    gp = jax.grad(lp, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gx = jax.grad(lx, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_packed_dense_matches_xla():
+    """Non-causal (MAE decoder) shape on the packed path."""
+    rng = np.random.default_rng(14)
+    t, h, d = 1024, 4, 32
+    q, k, v = rand_qkv(rng, 1, t, h, d)
+    ref = attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla")
+    out = block_attention.dense_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), tile=256,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def sorted_subset(rng, b, n_full, n_keep):
+    pos = np.stack([np.sort(rng.choice(n_full, size=n_keep, replace=False))
+                    for _ in range(b)]).astype(np.int32)
+    return pos
+
+
+@pytest.mark.parametrize("n_full,n_keep,p", [(512, 256, 32), (1024, 256, 128)])
+def test_gathered_slab_kernel_matches_xla(n_full, n_keep, p):
+    """MAE kept-token path: kernel with position-tile masks == XLA with the
+    dense mask built from positions (reference:brainformer.py:392-413 gathers
+    a materialized submatrix; both paths here are O(1)-mask)."""
+    rng = np.random.default_rng(10)
+    b, h, d = 2, 2, 32
+    pos = sorted_subset(rng, b, n_full, n_keep)
+    q, k, v = rand_qkv(rng, b, n_keep, h, d)
+    m = np.asarray(masks.block_causal_mask_from_positions(
+        jnp.asarray(pos), jnp.asarray(pos), p))[:, None]
+    ref = naive_attention(q, k, v, m)
+    out = block_attention.gathered_slab_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos), p,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_gathered_slab_grads_match_xla():
+    rng = np.random.default_rng(11)
+    b, n_full, n_keep, p, h, d = 1, 256, 128, 16, 2, 16
+    pos = jnp.asarray(sorted_subset(rng, b, n_full, n_keep))
+    q, k, v = map(jnp.asarray, rand_qkv(rng, b, n_keep, h, d))
+
+    def lp(q, k, v):
+        o = block_attention.gathered_slab_attention(q, k, v, pos, p,
+                                                    interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def lx(q, k, v):
+        o = attention.dot_product_attention(q, k, v,
+                                            mask_mode="gathered_slab",
+                                            positions=pos, tok_per_time=p,
+                                            impl="xla")
+        return jnp.sum(jnp.sin(o))
+
+    gp = jax.grad(lp, (0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, (0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_gathered_dispatch_falls_back_on_cpu():
+    """dot_product_attention(mask_mode='gathered_slab') must produce the same
+    values whether the kernel qualifies or the XLA fallback runs."""
+    rng = np.random.default_rng(12)
+    b, n_keep, p = 2, 128, 16
+    pos = jnp.asarray(sorted_subset(rng, b, 512, n_keep))
+    q, k, v = map(jnp.asarray, rand_qkv(rng, b, n_keep, 2, 16))
+    via_dispatch = attention.dot_product_attention(
+        q, k, v, mask_mode="gathered_slab", positions=pos, tok_per_time=p)
+    via_kernel = block_attention.gathered_slab_attention(q, k, v, pos, p,
+                                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(via_dispatch),
+                               np.asarray(via_kernel), atol=3e-5)
+
+
 def test_supported_accepts_flagship_shape():
     """The production gate must admit the flagship geometry (b=128 h=8 t=6144
     d=32, slab 256) — and reject shapes the kernel can't tile."""
