@@ -13,8 +13,12 @@ comparison, since the reference publishes no numbers of its own (BASELINE.md).
 Methodology notes (this harness runs through an async remote-TPU tunnel):
 - inputs are generated ON DEVICE from a per-iteration key (host->device
   transfer would otherwise dominate and memoized dispatches would lie);
-- iterations run inside one jitted fori_loop with a data dependence, and
-  timing brackets a VALUE FETCH (block_until_ready does not actually block
+- iterations run inside ONE dispatched fori_loop with a data dependence and
+  fresh per-iteration keys; per-iteration time is the difference between an
+  n-trip and a 1-trip run of the SAME program, cancelling the tunnel's fixed
+  ~33 ms/dispatch cost (dispatches do not overlap, so issuing them
+  back-to-back cannot amortize it);
+- timing brackets a VALUE FETCH (block_until_ready does not actually block
   under this tunnel).
 
 Prints ONE JSON line.
@@ -26,37 +30,44 @@ import time
 import numpy as np
 
 
-def _bench(fn, n_iters, key0=100, outer_jit=True):
-    """Time fn(key) over n_iters PIPELINED dispatches; returns seconds/iter.
+def _bench(fn, n_iters, key0=100, repeats=2):
+    """True device-side seconds/iter: run fn inside ONE dispatched
+    ``fori_loop`` (dynamic trip count, so one compile serves both timings)
+    and return (t(n_iters) - t(1)) / (n_iters - 1).
 
-    Dispatches are issued back-to-back (each with a fresh key so no dispatch
-    can be served from a memo) and every output is value-fetched only after
-    the last dispatch — the device executes dispatches in order, so the
-    bracket measures sustained device throughput with the tunnel round-trip
-    (~30 ms/dispatch, measured) amortized across iterations, exactly how a
-    production serving loop pipelines batches. block_until_ready does not
-    block under this tunnel; only value fetches synchronize.
-    ``outer_jit=False`` for fns whose internals are already jitted in stages
-    (fusing them into one program exceeds the remote-compile limit)."""
+    The difference cancels this tunnel's fixed ~33 ms/dispatch cost, which
+    does NOT overlap across dispatches (measured: a trivial jit sustains
+    ~35 ms/dispatch no matter how many are in flight, so "pipelining"
+    dispatches never amortizes it — only an on-device loop does). Each inner
+    iteration folds a fresh key so no dispatch or iteration can be served
+    from the tunnel's memo; the accumulated sum is value-fetched (the only
+    operation that actually synchronizes here)."""
     import jax
     import jax.numpy as jnp
     import sys
 
     # params flow through as a REAL argument — a closure capture can be
     # embedded into the remote-compile payload (500MB -> HTTP 413)
-    run = lambda params, key: jnp.sum(fn(params, key).astype(jnp.float32))
-    if outer_jit:
-        run = jax.jit(run)
+    @jax.jit
+    def run(params, key, n):
+        def body(i, acc):
+            out = fn(params, jax.random.fold_in(key, i))
+            return acc + jnp.sum(out.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    def timed(n, key):
+        t0 = time.perf_counter()
+        float(run(_PARAMS[0], key, n))
+        return time.perf_counter() - t0
+
     print(f"[bench] compiling {getattr(fn, '__name__', 'fn')}...",
           file=sys.stderr, flush=True)
-    float(run(_PARAMS[0], jax.random.key(key0)))     # compile + warm
+    timed(1, jax.random.key(key0))                   # compile + warm
     print("[bench] compiled; timing...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    outs = [run(_PARAMS[0], jax.random.key(key0 + 1 + i))
-            for i in range(n_iters)]
-    for v in outs:
-        float(v)
-    return (time.perf_counter() - t0) / n_iters
+    t1 = min(timed(1, jax.random.key(key0 + 10 + r)) for r in range(repeats))
+    tn = min(timed(n_iters, jax.random.key(key0 + 20 + r))
+             for r in range(repeats))
+    return max(tn - t1, 1e-9) / (n_iters - 1)
 
 
 _PARAMS = [None]
@@ -96,7 +107,7 @@ def main():
                                  max_new_tokens=max_new, top_k=10)
 
     encode_s = _bench(encode_fn, 8)
-    decode_s = _bench(decode_fn, 8, outer_jit=False)
+    decode_s = _bench(decode_fn, 8)
     cached_s = encode_s + decode_s
     ours = batch / cached_s
 

@@ -31,6 +31,13 @@ from frankenstein_tpu.models import gpt2
 NEG_INF = -1e30
 
 
+def _round_cache_len(n: int, mult: int = 16) -> int:
+    """Round the KV-cache length up to a TPU-tileable multiple — padding rows
+    are masked out anyway, and the fused decode kernel
+    (ops/pallas/fused_decode.py) needs a clean seq tiling."""
+    return -(-n // mult) * mult
+
+
 def _reorder(module, cache, flat_idx):
     """Gather cache rows to the surviving-beam order; the module owns its
     cache layout (GPT stacks layers at axis 0, batch at axis 1)."""
@@ -83,8 +90,9 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     combined flagship program, and two dispatches cost one tunnel RTT.
     When called inside an outer jit both inline into one program as usual.
     """
-    max_len = (idx0.shape[1] + (prefix.shape[1] if prefix is not None else 0)
-               + max_new_tokens + 1)
+    max_len = _round_cache_len(
+        idx0.shape[1] + (prefix.shape[1] if prefix is not None else 0)
+        + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
     return _sample_scan(module, params, logits, cache, length, rng,
                         max_new_tokens=max_new_tokens, temperature=temperature,
@@ -143,8 +151,9 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
     b, t0 = idx0.shape
     w = beam_width
     rep = lambda x: jnp.repeat(x, w, axis=0) if x is not None else None
-    max_len = (t0 + (prefix.shape[1] if prefix is not None else 0)
-               + max_new_tokens + 1)
+    max_len = _round_cache_len(
+        t0 + (prefix.shape[1] if prefix is not None else 0)
+        + max_new_tokens + 1)
     if length_normalize:           # legacy alias: plain 1/len normalization
         length_penalty = 1.0
     logits, cache, length = _prefill_args(module, params, rep(idx0),
@@ -247,8 +256,9 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
     b, t0 = idx0.shape
     w = beam_width
     rep = lambda x: jnp.repeat(x, w, axis=0) if x is not None else None
-    max_len = (t0 + (prefix.shape[1] if prefix is not None else 0)
-               + max_new_tokens + 1)
+    max_len = _round_cache_len(
+        t0 + (prefix.shape[1] if prefix is not None else 0)
+        + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,

@@ -1,0 +1,274 @@
+"""Fused single-token GPT decode step: all transformer layers in ONE Pallas
+program.
+
+The unfused decode step (models/gpt2.py:178-188, an ``nn.scan`` over 12
+blocks) is ~6x off its HBM roofline at batch 128: every layer's op chain
+(LN, qkv matmul, cache update, masked softmax, proj, MLP) round-trips
+activations through HBM and pays XLA per-op overheads 12 times per token.
+A decode step moves ~470 MB (weights 170 MB + KV cache 300 MB) and does only
+~25 GFLOP — pure bandwidth — so the win is one kernel that streams each
+layer's weights and cache exactly once while the [B, E] activation stays
+resident in VMEM.
+
+Structure (grid = (n_layer, batch_chunks), batch axis fastest so each
+layer's weights are fetched ONCE and revisited across batch chunks):
+- weights arrive as the stacked [L, ...] arrays ``nn.scan`` already stores
+  (models/gpt2.py:114-120) — the BlockSpec index map streams layer l's slice;
+- the KV caches ([L, B, S, H*D] view) stream one (layer, batch-chunk) block
+  per step; attention against them is per-head VPU multiply-reduce (a
+  batched GEMV has no dense MXU mapping — each batch row owns a different K,
+  and Mosaic's 1-batch-dim tpu.matmul would loop 1-row MXU passes);
+- the current token's K/V are computed in-kernel, written to ``k_new/v_new``
+  outputs, and folded into the softmax as an extra logit (the cache read is
+  one step stale by design); the caller scatters the rows into the cache
+  with one ``dynamic_update_slice`` (in-place inside a scan carry);
+- ``length`` rides scalar prefetch and masks cache rows ``j >= length``;
+- the full [B, E] activation lives in an f32 VMEM scratch across the whole
+  grid; batch chunking bounds the attention temporaries (Mosaic allocates
+  unrolled per-head temps without stack reuse, so bc=128 blows scoped vmem).
+
+The reference has no cached decode at all — it re-forwards the entire
+sequence per token (reference:models/gpt2_model.py:328-353).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+NEG_INF = float(np.finfo(np.float32).min)
+VMEM_LIMIT = 114 * 1024 * 1024      # raised via CompilerParams below
+_HEADROOM = 0.88                    # leave slack for Mosaic-internal buffers
+
+
+def _layer_norm_f32(x, w, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7): Mosaic has
+    no erf primitive, and the tanh-approx GELU would drift from the exact
+    GELU the unfused path (models/gpt2.py:96) computes."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    # erf formulation (reference:gpt2_model.py uses torch's exact gelu)
+    return 0.5 * x * (1.0 + _erf(x * (1.0 / np.sqrt(2.0))))
+
+
+def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
+            ln2w, ln2b, wfc, bfc, wfc2, bfc2, kc_ref, vc_ref,
+            xout_ref, knew_ref, vnew_ref, x_scr,
+            *, n_layer: int, n_head: int, head_dim: int, seq: int, bc: int):
+    l = pl.program_id(0)
+    bi = pl.program_id(1)
+    scale = 1.0 / np.sqrt(head_dim)
+    rows = pl.ds(bi * bc, bc)
+
+    @pl.when(l == 0)
+    def _load():
+        x_scr[rows] = x_ref[...].astype(jnp.float32)
+
+    x = x_scr[rows]                                   # [BC, E] f32
+    cdt = kc_ref.dtype
+
+    # ---- attention sublayer ------------------------------------------------
+    h = _layer_norm_f32(x, ln1w[0].astype(jnp.float32),
+                        ln1b[0].astype(jnp.float32))
+    qkv = jax.lax.dot_general(h.astype(cdt), wqkv[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv[0].astype(jnp.float32)
+    e = n_head * head_dim
+    q, k_new, v_new = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
+    knew_ref[0] = k_new.astype(knew_ref.dtype)
+    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+
+    # Attention for ALL heads at once, full 768-lane VPU width — a per-head
+    # loop works on 64-lane slices (half the VPU idle) and Mosaic allocates
+    # its unrolled temporaries without stack reuse. Per-head reductions and
+    # broadcasts ride tiny MXU dots against 0/1 segment matrices instead of
+    # [BC, S, H, D] reshapes (whose (12, 64) minor tiles pad 2.7x).
+    kc = kc_ref[0]                                    # [BC, S, E]
+    vc = vc_ref[0]
+    bc_, _, e_ = kc.shape
+    lane_head = (jax.lax.broadcasted_iota(jnp.int32, (e, n_head), 0)
+                 // head_dim)
+    seg_sum = (lane_head ==
+               jax.lax.broadcasted_iota(jnp.int32, (e, n_head), 1)
+               ).astype(jnp.float32)                  # [E, H]
+    expand = seg_sum.T                                # [H, E]
+
+    # products in the cache dtype (bf16 on TPU: halves VPU/VMEM traffic);
+    # the segment dot accumulates them in f32 on the MXU
+    prod = q.astype(cdt)[:, None, :] * kc             # [BC, S, E]
+    s = jax.lax.dot_general(prod.reshape(bc_ * seq, e_),
+                            seg_sum.astype(cdt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s.reshape(bc_, seq, n_head) * scale           # [BC, S, H]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, seq, 1), 1)
+             < len_ref[0])
+    s = jnp.where(valid, s, NEG_INF)
+    s_own = jax.lax.dot_general(q * k_new, seg_sum, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+    m = jnp.maximum(jnp.max(s, axis=1), s_own)        # [BC, H]
+    p = jnp.exp(s - m[:, None, :])
+    p_own = jnp.exp(s_own - m)
+    denom = jnp.sum(p, axis=1) + p_own                # [BC, H]
+    p = p / denom[:, None, :]
+    p_wide = jax.lax.dot_general(p.reshape(bc_ * seq, n_head).astype(cdt),
+                                 expand.astype(cdt),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(cdt)
+    o = jnp.sum((p_wide.reshape(bc_, seq, e_) * vc).astype(jnp.float32),
+                axis=1)                               # [BC, E] f32
+    own_wide = jax.lax.dot_general(p_own / denom, expand,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    o = o + own_wide * v_new
+    y = jax.lax.dot_general(o.astype(cdt), wproj[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    x = x + y + bproj[0].astype(jnp.float32)
+
+    # ---- MLP sublayer ------------------------------------------------------
+    h2 = _layer_norm_f32(x, ln2w[0].astype(jnp.float32),
+                         ln2b[0].astype(jnp.float32))
+    hh = jax.lax.dot_general(h2.astype(cdt), wfc[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    hh = _gelu_exact(hh + bfc[0].astype(jnp.float32))
+    y2 = jax.lax.dot_general(hh.astype(cdt), wfc2[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    x = x + y2 + bfc2[0].astype(jnp.float32)
+
+    x_scr[rows] = x
+
+    @pl.when(l == n_layer - 1)
+    def _store():
+        xout_ref[...] = x.astype(xout_ref.dtype)
+
+
+def _vmem_estimate(bc: int, s: int, e: int, n_head: int, hd: int, b: int,
+                   itemsize: int) -> int:
+    weights = (e * 3 * e + e * e + 2 * e * 4 * e + 8 * e) * itemsize
+    caches = 2 * bc * s * e * itemsize
+    # ~3 live [BC, S, E] cache-dtype temporaries (QK product, expanded probs,
+    # AV product) + one f32 (AV accumulate) + qkv/mlp activations — Mosaic's
+    # stack allocator does not aggressively reuse slots, so budget them all
+    stack = bc * s * e * (3 * itemsize + 4) + 12 * bc * e * 4
+    return 2 * (weights + caches) + stack + b * e * 4
+
+
+def _pick_batch_chunk(b: int, s: int, e: int, n_head: int, hd: int,
+                      itemsize: int) -> int:
+    """Largest batch chunk (divides b) whose double-buffered blocks plus
+    in-kernel temporaries fit the raised VMEM limit."""
+    for bc in (128, 64, 32, 16, 8):
+        if b % bc != 0:
+            continue
+        if _vmem_estimate(bc, s, e, n_head, hd, b, itemsize) < (
+                VMEM_LIMIT * _HEADROOM):
+            return bc
+    return 0
+
+
+def supported(n_layer: int, n_head: int, head_dim: int, b: int, s: int,
+              itemsize: int = 2, interpret: bool = False) -> bool:
+    """Static gate; the caller falls back to the scanned XLA path."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    e = n_head * head_dim
+    if s % 8 != 0 or b % 8 != 0 or e % 128 != 0:
+        return False
+    return _pick_batch_chunk(b, s, e, n_head, head_dim, itemsize) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("n_layer", "n_head", "head_dim",
+                                             "interpret"))
+def fused_decode_blocks(x, stacked, k_cache, v_cache, length, *,
+                        n_layer: int, n_head: int, head_dim: int,
+                        interpret: bool = False):
+    """Run all transformer blocks for ONE token position.
+
+    x: [B, E] embedded token (wte+wpe); stacked: dict of [L, ...] params with
+    keys ln1_w ln1_b qkv_w qkv_b proj_w proj_b ln2_w ln2_b fc_w fc_b fc2_w
+    fc2_b (kernels in [in, out] layout); k_cache/v_cache: [L, B, S, E];
+    length: [] int32 count of valid cache rows.
+
+    Returns (x_out [B, E], k_new [L, B, E], v_new [L, B, E]) — the caller
+    scatters k_new/v_new into the caches at row ``length``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, e = x.shape
+    s = k_cache.shape[2]
+    cdt = k_cache.dtype
+    v3 = lambda a: a[:, None, :]                  # [L, D] -> [L, 1, D]
+    bc = _pick_batch_chunk(b, s, e, n_head, head_dim, jnp.dtype(cdt).itemsize)
+    assert bc > 0, "caller must gate on supported()"
+    grid = (n_layer, b // bc)
+
+    # [L, D] vectors ride as [L, 1, D] — Mosaic needs the second-minor block
+    # dim to divide 8 or equal the array dim
+    mat = lambda d1, d2: pl.BlockSpec((1, d1, d2),
+                                      lambda l, bi, len_r: (l, 0, 0))
+    vec = lambda d: pl.BlockSpec((1, 1, d), lambda l, bi, len_r: (l, 0, 0))
+    in_specs = [
+        pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x
+        vec(e), vec(e),                                               # ln1
+        mat(e, 3 * e), vec(3 * e),                                    # qkv
+        mat(e, e), vec(e),                                            # proj
+        vec(e), vec(e),                                               # ln2
+        mat(e, 4 * e), vec(4 * e),                                    # fc
+        mat(4 * e, e), vec(e),                                        # fc2
+        pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
+        pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
+        pl.BlockSpec((1, bc, e), lambda l, bi, len_r: (l, bi, 0)),    # k_new
+        pl.BlockSpec((1, bc, e), lambda l, bi, len_r: (l, bi, 0)),    # v_new
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((b, e), jnp.float32)],
+    )
+    p = stacked
+    xo, k_new, v_new = pl.pallas_call(
+        functools.partial(_kernel, n_layer=n_layer, n_head=n_head,
+                          head_dim=head_dim, seq=s, bc=bc),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, e), x.dtype),
+            jax.ShapeDtypeStruct((n_layer, b, e), cdt),
+            jax.ShapeDtypeStruct((n_layer, b, e), cdt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(length, (1,)).astype(jnp.int32),
+      x,
+      v3(p["ln1_w"]), v3(p["ln1_b"]), p["qkv_w"], v3(p["qkv_b"]),
+      p["proj_w"], v3(p["proj_b"]), v3(p["ln2_w"]), v3(p["ln2_b"]),
+      p["fc_w"], v3(p["fc_b"]), p["fc2_w"], v3(p["fc2_b"]),
+      k_cache, v_cache)
+    return xo, k_new, v_new

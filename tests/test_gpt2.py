@@ -144,3 +144,72 @@ def test_dropout_active_only_in_training():
     l0, logits_0 = model0.apply(params, idx, targets=tgt)
     np.testing.assert_array_equal(np.asarray(logits_e), np.asarray(logits_0))
     np.testing.assert_allclose(float(le), float(l0))
+
+
+# ---------------------------------------------------------------------------
+# fused single-program decode step (ops/pallas/fused_decode.py)
+# ---------------------------------------------------------------------------
+
+def _fused_geometry_cfg(bias=True):
+    # fused kernel needs n_embd % 128 == 0
+    return GPTConfig(block_size=64, vocab_size=160, n_layer=2, n_head=2,
+                     n_embd=128, dropout=0.0, bias=bias)
+
+
+def _fused_step(params, cfg, token, cache, length):
+    """Test-side driver of the fused path (interpret mode runs on CPU):
+    embed + fused blocks + ln_f + tied lm_head, restating decode_step."""
+    from frankenstein_tpu.ops import norms
+    p = params["params"]
+    x = p["wte"][token] + jax.lax.dynamic_slice_in_dim(p["wpe"], length, 1)[0]
+    x, cache = gpt2._fused_blocks(cfg, p["h"], x, cache, length,
+                                  interpret=True)
+    x = norms.layer_norm(x, p["ln_f"]["weight"],
+                         p["ln_f"].get("bias"), eps=1e-5)
+    return x @ p["wte"].T, cache, length + 1
+
+
+@pytest.mark.parametrize("bias", [True, False])
+def test_fused_decode_step_matches_scan(bias):
+    """The fused all-layer Pallas decode step must reproduce the scanned
+    per-layer path: logits and cache equal over several steps after a real
+    prefill (padding rows, masking, own-token logit all exercised)."""
+    cfg = _fused_geometry_cfg(bias)
+    model = gpt2.GPT(cfg)
+    rng = np.random.default_rng(0)
+    b, t0, s = 8, 4, 16
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t0)), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+
+    cache = gpt2.init_cache(cfg, b, s)
+    logits_ref, cache_ref, length = model.apply(
+        params, idx0, None, cache, method=gpt2.GPT.prefill)
+    cache_fused, len_fused = cache_ref, length
+
+    tok = jnp.argmax(logits_ref, axis=-1).astype(jnp.int32)
+    tok_fused = tok
+    for _ in range(3):
+        logits_ref, cache_ref, length = model.apply(
+            params, tok, cache_ref, length, method=gpt2.GPT.decode_step)
+        logits_f, cache_fused, len_fused = _fused_step(
+            params, cfg, tok_fused, cache_fused, len_fused)
+        np.testing.assert_allclose(np.asarray(logits_f),
+                                   np.asarray(logits_ref),
+                                   atol=1e-3, rtol=1e-4)
+        for a, r in zip(jax.tree_util.tree_leaves(cache_fused),
+                        jax.tree_util.tree_leaves(cache_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+        tok = jnp.argmax(logits_ref, axis=-1).astype(jnp.int32)
+        tok_fused = jnp.argmax(logits_f, axis=-1).astype(jnp.int32)
+
+
+def test_fused_supported_gate():
+    from frankenstein_tpu.ops.pallas import fused_decode
+    # flagship decode geometry (bf16 cache) must pass the static gate
+    assert fused_decode.supported(12, 12, 64, 128, 64, 2, interpret=True)
+    # beams at 3x batch still fit via batch chunking
+    assert fused_decode.supported(12, 12, 64, 384, 64, 2, interpret=True)
+    # ragged seq / tiny embed rejected
+    assert not fused_decode.supported(12, 12, 64, 128, 59, 2, interpret=True)
+    assert not fused_decode.supported(2, 2, 16, 8, 16, 4, interpret=True)
