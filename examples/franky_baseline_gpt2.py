@@ -12,6 +12,11 @@ Usage:
   python examples/franky_baseline_gpt2.py --data synthetic --steps 200
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

@@ -3,6 +3,11 @@
 decode every held-out trial with the trained Franky checkpoint, normalize,
 write one line per trial to sub.txt."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

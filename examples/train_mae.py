@@ -2,6 +2,11 @@
 """MAE pretraining (script form of reference:notebooks_trainer/train_mae.ipynb:
 ``MAEConfig(window_size=1024)``, BrainDataset without tokenization)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

@@ -4,6 +4,11 @@ reference:notebooks_trainer/vq_brain_trainer.ipynb:
 ``SoundStream(C=256, D=64, codebook_size=1024, n_electrodes=512)``, the
 512-channel spikePow+tx4 concat preprocessing)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

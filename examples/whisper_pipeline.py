@@ -4,6 +4,11 @@ reference:notebooks/whisper_prepare_data.ipynb + whisper_hugging_face.ipynb):
 PCA 256->80 fit on train voltages, 50->100 Hz resample, pad to 3000 frames,
 then fine-tune the seq2seq model with WER-selected checkpoints."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

@@ -562,7 +562,7 @@ def _pack_plan(t: int, d: int, nh: int, block: int):
     return p, qb, chunk
 
 
-def _fwd_packed_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
+def _fwd_packed_kernel(i_ref, c_ref, first_ref, last_ref, q_ref, k_ref, v_ref,
                        o_ref, lse_ref, *scr,
                        block: int, qb: int, chunk: int, scale: float,
                        d: int, npack: int, causal: bool):
@@ -573,7 +573,7 @@ def _fwd_packed_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
     i = i_ref[p]
     c = c_ref[p]
 
-    @pl.when(c == 0)
+    @pl.when(first_ref[p] == 1)
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
         for h in range(npack):
@@ -623,13 +623,114 @@ def _fwd_packed_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
                 m_scrs[h][...] + jnp.log(l_scrs[h][...]))[:, 0]
 
 
+# Two-call split schedule for the causal packed forward: slab-causality is
+# block-aligned, so a (full_qb, full_chunk) call over the fully-allowed
+# chunks plus a fine-tiled (diag_qb, diag_chunk) call over each slab's
+# boundary region computes ZERO masked cells; the two partial softmaxes
+# merge by lse (flash-decoding style). None -> single-call schedule.
+# Measured at the flagship shape on v5e: best split (512,1024,256,512) ties
+# the single call (93.5 vs 93.3 ms/layer) — the ~11% dot-work saving is
+# exactly eaten by the second call's launch/DMA and the merge pass — and
+# fine 256-chunk diag tiles are far worse (141 ms, program overhead). The
+# machinery stays (exercised by interpret tests) for shapes where the
+# diagonal fraction is larger; flagship runs the single call.
+PACKED_SPLIT = None
+
+
+def _n_full(i: int, fqb: int, fchunk: int, block: int) -> int:
+    """Fully-allowed fchunk count for q-rows [i*fqb, (i+1)*fqb): the most
+    restrictive row bounds them."""
+    return (((i * fqb) // block + 1) * block) // fchunk
+
+
+def _packed_pairs_full(t, block, fqb, fchunk):
+    is_, cs_, first_, last_ = [], [], [], []
+    for i in range(t // fqb):
+        n_c = _n_full(i, fqb, fchunk, block)
+        for c in range(n_c):
+            is_.append(i)
+            cs_.append(c)
+            first_.append(1 if c == 0 else 0)
+            last_.append(1 if c == n_c - 1 else 0)
+    import numpy as np
+    return tuple(np.asarray(a, np.int32) for a in (is_, cs_, first_, last_))
+
+
+def _packed_pairs_diag(t, block, fqb, fchunk, dqb, dchunk):
+    """Pairs covering [n_full*fchunk, row_boundary) per dqb-block (dqb must
+    divide block so the boundary is uniform within a q-block)."""
+    import numpy as np
+    js_, cs_, first_, last_ = [], [], [], []
+    for j in range(t // dqb):
+        covered = _n_full((j * dqb) // fqb, fqb, fchunk, block) * fchunk
+        boundary = ((j * dqb) // block + 1) * block
+        c_lo, c_hi = covered // dchunk, -(-boundary // dchunk)
+        for c in range(c_lo, c_hi):
+            js_.append(j)
+            cs_.append(c)
+            first_.append(1 if c == c_lo else 0)
+            last_.append(1 if c == c_hi - 1 else 0)
+    return tuple(np.asarray(a, np.int32) for a in (js_, cs_, first_, last_))
+
+
+def _fwd_packed_call(q4, k4, v4, pairs, *, block: int, qb: int, chunk: int,
+                     scale: float, d: int, npack: int, mask: bool,
+                     interpret: bool):
+    """One packed pallas_call over an explicit pair list. q4/k4/v4:
+    [NB, T, P*D] packed; returns (out4 [NB, T, P*D], lse4 [NB, P, T])."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, t, pd = q4.shape
+    i_arr, c_arr, first_arr, last_arr = pairs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb, len(i_arr)),
+        in_specs=[
+            pl.BlockSpec((1, qb, pd),
+                         lambda b, p, i_r, c_r, f_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, chunk, pd),
+                         lambda b, p, i_r, c_r, f_r, l_r: (b, c_r[p], 0)),
+            pl.BlockSpec((1, chunk, pd),
+                         lambda b, p, i_r, c_r, f_r, l_r: (b, c_r[p], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qb, pd),
+                         lambda b, p, i_r, c_r, f_r, l_r: (b, i_r[p], 0)),
+            pl.BlockSpec((1, npack, t),
+                         lambda b, p, i_r, c_r, f_r, l_r: (b, 0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((qb, npack * chunk), jnp.float32),
+             pltpu.VMEM((qb, pd), jnp.float32)]
+            + [pltpu.VMEM((qb, 1), jnp.float32) for _ in range(2 * npack)]),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_packed_kernel, block=block, qb=qb, chunk=chunk,
+                          scale=scale, d=d, npack=npack, causal=mask),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, t, pd), q4.dtype),
+            jax.ShapeDtypeStruct((nb, npack, t), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * nb * len(i_arr) * qb * npack * chunk * d),
+            bytes_accessed=int(4 * nb * t * pd * 4),
+            transcendentals=int(nb * len(i_arr) * qb * npack * chunk),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(first_arr),
+      jnp.asarray(last_arr), q4, k4, v4)
+
+
 def _fwd_packed(q3, k3, v3, *, block: int, scale: float, interpret: bool,
                 causal: bool, nh: int, plan):
     """Packed forward on [BH, T, D] inputs; returns the same (out, lse)
     layout as ``_fwd``. Repacks to [BH/P, T, P*D] (consecutive bh rows are
-    the same batch element's heads, so grouping by P respects nh % P == 0)."""
-    from jax.experimental.pallas import tpu as pltpu
+    the same batch element's heads, so grouping by P respects nh % P == 0).
 
+    Causal runs the two-call split schedule (PACKED_SPLIT) when the geometry
+    divides cleanly — no masked cells are ever computed — falling back to a
+    single masked call otherwise. Non-causal (dense) is one unmasked call."""
     npack, qb, chunk = plan
     bh, t, d = q3.shape
     nb = bh // npack
@@ -639,46 +740,56 @@ def _fwd_packed(q3, k3, v3, *, block: int, scale: float, interpret: bool,
         x = x.reshape(nb, npack, t, d)
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(nb, t, pd)
 
-    i_arr, c_arr, last_arr = _triangle_pairs(t, block if causal else chunk,
-                                             qb, chunk, causal)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb, len(i_arr)),
-        in_specs=[
-            pl.BlockSpec((1, qb, pd), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
-            pl.BlockSpec((1, chunk, pd), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
-            pl.BlockSpec((1, chunk, pd), lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, qb, pd), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0)),
-            pl.BlockSpec((1, npack, t), lambda b, p, i_r, c_r, l_r: (b, 0, 0)),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((qb, npack * chunk), jnp.float32),
-             pltpu.VMEM((qb, pd), jnp.float32)]
-            + [pltpu.VMEM((qb, 1), jnp.float32) for _ in range(2 * npack)]),
-    )
-    out4, lse4 = pl.pallas_call(
-        functools.partial(_fwd_packed_kernel, block=block, qb=qb, chunk=chunk,
-                          scale=scale, d=d, npack=npack, causal=causal),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, t, pd), q3.dtype),
-            jax.ShapeDtypeStruct((nb, npack, t), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(2 * 2 * nb * len(i_arr) * qb * npack * chunk * d),
-            bytes_accessed=int(4 * bh * t * d * 4),
-            transcendentals=int(nb * len(i_arr) * qb * npack * chunk),
-        ),
-        interpret=interpret,
-    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
-      pack(q3), pack(k3), pack(v3))
+    def unpack(out4, lse4):
+        out = jnp.transpose(out4.reshape(nb, t, npack, d),
+                            (0, 2, 1, 3)).reshape(bh, t, d)
+        return out, lse4.reshape(bh, t)[:, None, :]
 
-    out = jnp.transpose(out4.reshape(nb, t, npack, d),
-                        (0, 2, 1, 3)).reshape(bh, t, d)
-    lse = lse4.reshape(bh, t)[:, None, :]
-    return out, lse
+    q4, k4, v4 = pack(q3), pack(k3), pack(v3)
+    call = functools.partial(_fwd_packed_call, q4, k4, v4, scale=scale, d=d,
+                             npack=npack, interpret=interpret)
+
+    split = PACKED_SPLIT
+    if causal and split is not None:
+        fqb, fchunk, dqb, dchunk = split
+        ok = (t % fqb == 0 and t % fchunk == 0 and t % dqb == 0
+              and block % dqb == 0 and block % dchunk == 0
+              and fchunk % block == 0)
+        if ok:
+            full = _packed_pairs_full(t, block, fqb, fchunk)
+            diag = _packed_pairs_diag(t, block, fqb, fchunk, dqb, dchunk)
+            of, lf = call(full, block=block, qb=fqb, chunk=fchunk, mask=False)
+            od, ld = call(diag, block=block, qb=dqb, chunk=dchunk, mask=False)
+            of, lf = unpack(of, lf)
+            od, ld = unpack(od, ld)
+            # first q-row with >= 1 full chunk; earlier rows are diag-only
+            i0 = next(i for i in range(t // fqb + 1)
+                      if i == t // fqb or _n_full(i, fqb, fchunk, block) > 0)
+            r0 = i0 * fqb
+            valid = (jnp.arange(t) >= r0)[None, None, :]
+            lf = jnp.where(valid, lf, -jnp.inf)
+            m = jnp.maximum(lf, ld)
+            wf = jnp.where(valid, jnp.exp(lf - m), 0.0)
+            wd = jnp.exp(ld - m)
+            of = jnp.where(jnp.transpose(valid, (0, 2, 1)), of, 0.0)
+            out = (of * jnp.transpose(wf, (0, 2, 1))
+                   + od * jnp.transpose(wd, (0, 2, 1))) / (
+                jnp.transpose(wf + wd, (0, 2, 1)))
+            return out.astype(q3.dtype), m + jnp.log(wf + wd)
+
+    if causal:
+        pairs = _triangle_pairs(t, block, qb, chunk, True)
+        pairs = (pairs[0], pairs[1],
+                 (pairs[1] == 0).astype(pairs[1].dtype), pairs[2])
+        return unpack(*call(pairs, block=block, qb=qb, chunk=chunk, mask=True))
+    import numpy as np
+    n_c = t // chunk
+    i_arr = np.repeat(np.arange(t // qb, dtype=np.int32), n_c)
+    c_arr = np.tile(np.arange(n_c, dtype=np.int32), t // qb)
+    first_arr = (c_arr == 0).astype(np.int32)
+    last_arr = (c_arr == n_c - 1).astype(np.int32)
+    return unpack(*call((i_arr, c_arr, first_arr, last_arr),
+                        block=chunk, qb=qb, chunk=chunk, mask=False))
 
 
 def _packed_resident_bytes(t, d, itemsize, plan):
