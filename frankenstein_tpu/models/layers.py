@@ -88,10 +88,17 @@ class SelfAttention(nn.Module):
         inner = self.n_heads * self.head_dim
         dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
                                          param_dtype=jnp.float32, name=name)
-        q = dense(inner, "qw")(x).reshape(b, t, self.n_heads, self.head_dim)
-        k = dense(inner, "kw")(x).reshape(b, t, self.n_heads, self.head_dim)
-        v = dense(inner, "vw")(x).reshape(b, t, self.n_heads, self.head_dim)
-
+        # NOTE: a folded fast path (rope + attention on [B, T, E], heads
+        # never unfolded — ops/rope.py:apply_rope_folded +
+        # ops/attention.py:slab_attention_folded) measured SLOWER at the
+        # flagship shape (127 vs 112 ms/layer on v5e): XLA fuses this
+        # unfolded chain well, and the roll-based folded rope loses to the
+        # reshape form. The folded ops stay available and tested.
+        shape = (b, t, self.n_heads, self.head_dim)
+        qf = dense(inner, "qw")(x)
+        kf = dense(inner, "kw")(x)
+        vf = dense(inner, "vw")(x)
+        q, k, v = qf.reshape(shape), kf.reshape(shape), vf.reshape(shape)
         if rope is not None:
             from frankenstein_tpu.ops import rope as rope_ops
             q = rope_ops.apply_rope(q, rope, align=self.rope_align)

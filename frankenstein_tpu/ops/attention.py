@@ -102,6 +102,30 @@ def dot_product_attention(
                           tok_per_time=tok_per_time)
 
 
+def slab_attention_folded(q, k, v, *, n_heads: int, tok_per_time: int,
+                          impl: str = "auto") -> jnp.ndarray:
+    """Slab-causal attention on FOLDED [B, T, E] tensors -> [B, T, E].
+
+    On TPU-supported geometry this never unfolds heads outside the kernel
+    (the [B, T, H, D] convention gets 4x-padded (8, 128) tiling at d=32 —
+    see ops/pallas/block_attention.py folded entry); otherwise it reshapes
+    and falls back to ``dot_product_attention``."""
+    b, t, e = q.shape
+    from frankenstein_tpu.ops.pallas import block_attention
+    interp = impl == "pallas"
+    if impl in ("auto", "pallas") and block_attention.folded_supported(
+            b, t, e, n_heads, tok_per_time,
+            jnp.dtype(q.dtype).itemsize, interpret=interp):
+        return block_attention.slab_causal_attention_folded(
+            q, k, v, n_heads, tok_per_time, interpret=interp)
+    d = e // n_heads
+    r = lambda x: x.reshape(b, t, n_heads, d)
+    out = dot_product_attention(r(q), r(k), r(v), mask_mode="slab",
+                                tok_per_time=tok_per_time,
+                                impl="xla" if impl == "pallas" else impl)
+    return out.reshape(b, t, e)
+
+
 def _xla_attention(q, k, v, *, mask=None, mask_mode=None, tok_per_time=0):
     b, tq, h, d = q.shape
     tk = k.shape[1]

@@ -722,6 +722,29 @@ def _fwd_packed_call(q4, k4, v4, pairs, *, block: int, qb: int, chunk: int,
       jnp.asarray(last_arr), q4, k4, v4)
 
 
+def _packed_call_single(q4, k4, v4, *, block: int, scale: float,
+                        interpret: bool, causal: bool, npack: int, qb: int,
+                        chunk: int):
+    """Single-call packed forward on already-packed [NB, T, P*D] inputs."""
+    t = q4.shape[1]
+    if causal:
+        pr = _triangle_pairs(t, block, qb, chunk, True)
+        pairs = (pr[0], pr[1], (pr[1] == 0).astype(pr[1].dtype), pr[2])
+        return _fwd_packed_call(q4, k4, v4, pairs, block=block, qb=qb,
+                                chunk=chunk, scale=scale, d=q4.shape[-1] // npack,
+                                npack=npack, mask=True, interpret=interpret)
+    import numpy as np
+    n_c = t // chunk
+    i_arr = np.repeat(np.arange(t // qb, dtype=np.int32), n_c)
+    c_arr = np.tile(np.arange(n_c, dtype=np.int32), t // qb)
+    pairs = (i_arr, c_arr, (c_arr == 0).astype(np.int32),
+             (c_arr == n_c - 1).astype(np.int32))
+    return _fwd_packed_call(q4, k4, v4, pairs, block=chunk, qb=qb,
+                            chunk=chunk, scale=scale,
+                            d=q4.shape[-1] // npack, npack=npack,
+                            mask=False, interpret=interpret)
+
+
 def _fwd_packed(q3, k3, v3, *, block: int, scale: float, interpret: bool,
                 causal: bool, nh: int, plan):
     """Packed forward on [BH, T, D] inputs; returns the same (out, lse)
@@ -777,19 +800,9 @@ def _fwd_packed(q3, k3, v3, *, block: int, scale: float, interpret: bool,
                 jnp.transpose(wf + wd, (0, 2, 1)))
             return out.astype(q3.dtype), m + jnp.log(wf + wd)
 
-    if causal:
-        pairs = _triangle_pairs(t, block, qb, chunk, True)
-        pairs = (pairs[0], pairs[1],
-                 (pairs[1] == 0).astype(pairs[1].dtype), pairs[2])
-        return unpack(*call(pairs, block=block, qb=qb, chunk=chunk, mask=True))
-    import numpy as np
-    n_c = t // chunk
-    i_arr = np.repeat(np.arange(t // qb, dtype=np.int32), n_c)
-    c_arr = np.tile(np.arange(n_c, dtype=np.int32), t // qb)
-    first_arr = (c_arr == 0).astype(np.int32)
-    last_arr = (c_arr == n_c - 1).astype(np.int32)
-    return unpack(*call((i_arr, c_arr, first_arr, last_arr),
-                        block=chunk, qb=qb, chunk=chunk, mask=False))
+    return unpack(*_packed_call_single(q4, k4, v4, block=block, scale=scale,
+                                       interpret=interpret, causal=causal,
+                                       npack=npack, qb=qb, chunk=chunk))
 
 
 def _packed_resident_bytes(t, d, itemsize, plan):
@@ -800,6 +813,98 @@ def _packed_resident_bytes(t, d, itemsize, plan):
             + npack * chunk * pd * itemsize * 2       # kbd/vbd staging
             + qb * pd * 4                             # acc
             + npack * t * 4)                          # lse row
+
+
+# ---------------------------------------------------------------------------
+# folded entry: [B, T, E] in/out, heads never unfolded outside the kernel
+# ---------------------------------------------------------------------------
+#
+# The [B, T, H, D] convention costs real memory on TPU: XLA tiles the
+# (H, D) = (8, 32) minor dims to (8, 128) — 4x padded — so every reshape,
+# rope pass, and the to3/pack transposes around the kernel move 4x the
+# bytes. The folded entry packs [B, T, E] -> [B*(H/P), T, P*D] with ONE
+# clean-layout transpose per tensor and unpacks the output the same way.
+
+def _pack_groups(x, ng: int, pd: int):
+    b, t, _ = x.shape
+    return jnp.transpose(x.reshape(b, t, ng, pd), (0, 2, 1, 3)
+                         ).reshape(b * ng, t, pd)
+
+
+def _unpack_groups(x4, b: int, ng: int):
+    nb, t, pd = x4.shape
+    return jnp.transpose(x4.reshape(b, ng, t, pd), (0, 2, 1, 3)
+                         ).reshape(b, t, ng * pd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _slab_attention_packed(q4, k4, v4, block: int, d: int, npack: int,
+                           interpret: bool):
+    scale = 1.0 / (d ** 0.5)
+    plan = (npack, 512, 1024)
+    out4, _ = _packed_call_single(q4, k4, v4, block=block, scale=scale,
+                                  interpret=interpret, causal=True,
+                                  npack=npack, qb=plan[1], chunk=plan[2])
+    return out4
+
+
+def _slab_attention_packed_fwd(q4, k4, v4, block, d, npack, interpret):
+    scale = 1.0 / (d ** 0.5)
+    out4, lse4 = _packed_call_single(q4, k4, v4, block=block, scale=scale,
+                                     interpret=interpret, causal=True,
+                                     npack=npack, qb=512, chunk=1024)
+    return out4, (q4, k4, v4, out4, lse4)
+
+
+def _slab_attention_packed_bwd(block, d, npack, interpret, res, do4):
+    """Backward runs the per-head triangle kernels on [BH, T, D] — unpack
+    the packed residuals (head order (group, pack) matches the fwd pack)."""
+    q4, k4, v4, out4, lse4 = res
+    nb, t, pd = q4.shape
+    to3 = lambda x: jnp.transpose(x.reshape(nb, t, npack, d), (0, 2, 1, 3)
+                                  ).reshape(nb * npack, t, d)
+    lse = lse4.reshape(nb * npack, t)[:, None, :]
+    scale = 1.0 / (d ** 0.5)
+    dq, dk, dv = _bwd(to3(q4), to3(k4), to3(v4), to3(out4), to3(do4), lse,
+                      block=block, scale=scale, interpret=interpret,
+                      causal=True)
+    to4 = lambda x: jnp.transpose(x.reshape(nb, npack, t, d), (0, 2, 1, 3)
+                                  ).reshape(nb, t, pd)
+    return to4(dq), to4(dk), to4(dv)
+
+
+_slab_attention_packed.defvjp(_slab_attention_packed_fwd,
+                              _slab_attention_packed_bwd)
+
+
+def folded_supported(b: int, t: int, e: int, n_heads: int, tok_per_time: int,
+                     itemsize: int = 2, interpret: bool = False) -> bool:
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if tok_per_time <= 0 or e % n_heads != 0:
+        return False
+    d = e // n_heads
+    plan = _pack_plan(t, d, n_heads, tok_per_time)
+    if plan is None:
+        return False
+    return _packed_resident_bytes(t, d, itemsize, plan) < VMEM_BUDGET
+
+
+def slab_causal_attention_folded(q, k, v, n_heads: int, tok_per_time: int,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Flash slab-causal attention on FOLDED [B, T, E] tensors -> [B, T, E].
+
+    Same math as ``slab_causal_attention`` on the unfolded views (callers
+    gate on ``folded_supported``)."""
+    b, t, e = q.shape
+    d = e // n_heads
+    npack = PACK_LANES // d
+    ng = n_heads // npack
+    pd = npack * d
+    pk = lambda x: _pack_groups(x, ng, pd)
+    out4 = _slab_attention_packed(pk(q), pk(k), pk(v), tok_per_time, d,
+                                  npack, interpret)
+    return _unpack_groups(out4, b, ng)
 
 
 # ---------------------------------------------------------------------------

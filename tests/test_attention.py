@@ -297,3 +297,38 @@ def test_supported_accepts_flagship_shape():
     assert not block_attention.supported(q, q, 100, interpret=True)  # %128
     q2 = jnp.zeros((1, 6000, 1, 32), jnp.bfloat16)                   # t%tile
     assert not block_attention.supported(q2, q2, 256, interpret=True)
+
+
+def test_folded_slab_attention_matches_unfolded():
+    """slab_attention_folded on [B, T, E] (packed kernel in interpret mode)
+    == per-head dot_product_attention, forward and grads."""
+    rng = np.random.default_rng(21)
+    t, p, h, d = 2048, 256, 8, 32
+    e = h * d
+    q, k, v = rand_qkv(rng, 1, t, h, d)
+    fold = lambda a: jnp.asarray(a).reshape(1, t, e)
+    ref = attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask_mode="slab", tok_per_time=p, impl="xla")
+    out = attention.slab_attention_folded(fold(q), fold(k), fold(v),
+                                          n_heads=h, tok_per_time=p,
+                                          impl="pallas")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref).reshape(1, t, e), atol=3e-5)
+
+    def lf(q, k, v):
+        o = attention.slab_attention_folded(q, k, v, n_heads=h,
+                                            tok_per_time=p, impl="pallas")
+        return jnp.sum(jnp.sin(o))
+
+    def lx(q, k, v):
+        o = attention.dot_product_attention(
+            q.reshape(1, t, h, d), k.reshape(1, t, h, d),
+            v.reshape(1, t, h, d), mask_mode="slab", tok_per_time=p,
+            impl="xla")
+        return jnp.sum(jnp.sin(o))
+
+    gf = jax.grad(lf, (0, 1, 2))(fold(q), fold(k), fold(v))
+    gx = jax.grad(lx, (0, 1, 2))(fold(q), fold(k), fold(v))
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

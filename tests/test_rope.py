@@ -56,3 +56,22 @@ def test_rope_preserves_norm():
     y = np.asarray(rope.apply_rope(jnp.asarray(x), cache))
     np.testing.assert_allclose(np.linalg.norm(y, axis=-1),
                                np.linalg.norm(x, axis=-1), rtol=1e-5)
+
+
+def test_folded_rope_matches_unfolded():
+    """apply_rope_folded on [B, T, H*D] == apply_rope on [B, T, H, D] for
+    both alignments (the folded path never unfolds heads)."""
+    import jax.numpy as jnp
+    from frankenstein_tpu.ops import rope as rope_ops
+    rng = np.random.default_rng(3)
+    b, t, h, d, s = 2, 12, 4, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    cache = rope_ops.build_rope_cache(d, s)
+    cos_e, sin_e = rope_ops.folded_tables(cache, h)
+    for align in ("suffix", "prefix"):
+        ref = rope_ops.apply_rope(x, cache, align=align)
+        out = rope_ops.apply_rope_folded(x.reshape(b, t, h * d),
+                                         cos_e, sin_e, align=align)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref.reshape(b, t, h * d)),
+                                   atol=1e-6)
