@@ -137,7 +137,7 @@ class Llama(nn.Module):
 
     def _head(self, x):
         w = self.embed if self.cfg.tie_embeddings else self.lm_head_w
-        return jnp.einsum("btd,vd->btv", x, w.astype(x.dtype),
+        return jnp.einsum("btd,dv->btv", x, jnp.transpose(w.astype(x.dtype)),
                           preferred_element_type=jnp.float32)
 
     def _embed_in(self, idx, prefix):

@@ -210,8 +210,8 @@ class BrainWhisper(nn.Module):
         for blk in self.dec_blocks:
             x = blk(x, enc)
         x = self.dec_ln(x)
-        return jnp.einsum("btd,vd->btv", x,
-                          self.embed_tokens.astype(x.dtype),
+        return jnp.einsum("btd,dv->btv", x,
+                          jnp.transpose(self.embed_tokens.astype(x.dtype)),
                           preferred_element_type=jnp.float32)
 
     def __call__(self, mel, labels=None, date_info=None,
@@ -269,8 +269,8 @@ class BrainWhisper(nn.Module):
             new_ks.append(k)
             new_vs.append(v)
         x = self.dec_ln(x[:, -1:])
-        logits = jnp.einsum("btd,vd->btv", x,
-                            self.embed_tokens.astype(x.dtype),
+        logits = jnp.einsum("btd,dv->btv", x,
+                            jnp.transpose(self.embed_tokens.astype(x.dtype)),
                             preferred_element_type=jnp.float32)[:, 0]
         return logits, (new_ks, new_vs, cross), jnp.int32(t)
 
@@ -286,8 +286,8 @@ class BrainWhisper(nn.Module):
             new_ks.append(k)
             new_vs.append(v)
         x = self.dec_ln(x)
-        logits = jnp.einsum("btd,vd->btv", x,
-                            self.embed_tokens.astype(x.dtype),
+        logits = jnp.einsum("btd,dv->btv", x,
+                            jnp.transpose(self.embed_tokens.astype(x.dtype)),
                             preferred_element_type=jnp.float32)[:, 0]
         return logits, (new_ks, new_vs, cross), length + 1
 
