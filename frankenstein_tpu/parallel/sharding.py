@@ -21,12 +21,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 COL = "col"   # split output features: [.., in, out] -> P(..., None, 'model')
 ROW = "row"   # split input features:  [.., in, out] -> P(..., 'model', None)
 VOCAB = "vocab"  # split dim 0 of an embedding table
+EXPERT = "expert"  # split dim 0 of stacked [E, ...] MoE expert weights
 
 # pattern (regex over '/'-joined path) -> rule
 LLAMA_TP_RULES: Sequence[Tuple[str, str]] = (
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", COL),
     (r".*(o_proj|down_proj)/kernel$", ROW),
     (r".*(embed|lm_head)$", VOCAB),
+)
+
+# expert parallelism for models/moe.py:MoESwiGLU — stacked [E, d, f] expert
+# weights shard on the expert axis; the tiny router wg replicates
+MOE_EP_RULES: Sequence[Tuple[str, str]] = (
+    (r".*/(w1|w2|w3)$", EXPERT),
 )
 
 GPT2_TP_RULES: Sequence[Tuple[str, str]] = (
@@ -44,7 +51,7 @@ def spec_for(path: str, shape, rules) -> P:
                 return P(*([None] * (ndim - 1) + ["model"]))
             if kind == ROW:
                 return P(*([None] * (ndim - 2) + ["model", None]))
-            if kind == VOCAB:
+            if kind in (VOCAB, EXPERT):
                 return P(*(["model"] + [None] * (ndim - 1)))
     return P()  # replicate
 
