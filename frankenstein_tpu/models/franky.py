@@ -52,6 +52,12 @@ class Franky(nn.Module):
     def decode_step(self, token, cache, length):
         return self.llm_model.decode_step(token, cache, length)
 
+    def decode_step_topk(self, token, cache, length, w_t=None, *, k: int):
+        return self.llm_model.decode_step_topk(token, cache, length, w_t, k=k)
+
+    def lm_head_table(self):
+        return self.llm_model.lm_head_table()
+
     @staticmethod
     def reorder_cache(cache, flat_idx):
         return GPT.reorder_cache(cache, flat_idx)

@@ -55,6 +55,65 @@ def test_generate_topk_respects_k(tiny_gpt):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(greedy))
 
 
+def test_compact_topk_path_matches_dense_oracle(tiny_gpt, monkeypatch):
+    """generate() with COMPACT_TOPK forced on routes through decode_step_topk
+    (the compact contract behind the fused lm_head kernel); off-TPU its
+    fallback must be bit-identical to the dense ln_f -> lm_head ->
+    approx_max_k -> categorical chain with the same rng stream."""
+    monkeypatch.setattr(sampling, "COMPACT_TOPK", True)
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(7)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (3, 1)))
+    prefix = jnp.asarray(rng.standard_normal((3, 2, cfg.n_embd)), jnp.float32)
+    steps, k, temp = 6, 5, 0.8
+    key = jax.random.key(11)
+
+    got = sampling.generate(model, params, idx0, prefix, key,
+                            max_new_tokens=steps, top_k=k, temperature=temp)
+    assert hasattr(type(model), "decode_step_topk")  # compact path taken
+
+    max_len = sampling._round_cache_len(
+        idx0.shape[1] + prefix.shape[1] + steps + 1)
+    logits, cache, length = sampling._prefill_args(model, params, idx0,
+                                                   prefix, max_len)
+    toks = []
+    for r in jax.random.split(key, steps):
+        vals, idx = jax.lax.approx_max_k(
+            logits.astype(jnp.float32) / temp, k, recall_target=0.99,
+            aggregate_to_topk=True)
+        choice = jax.random.categorical(r, vals, axis=-1)
+        tok = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+        toks.append(tok)
+        logits, cache, length = model.apply(
+            params, tok, cache, length, method=gpt2.GPT.decode_step)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.stack([np.asarray(t) for t in toks], 1))
+
+
+def test_decode_step_topk_contract(tiny_gpt):
+    """vals/idx are the top-k of the dense logits; logz is the exact
+    full-vocab logsumexp (so vals - logz are exact log-probs)."""
+    model, params, cfg = tiny_gpt
+    idx0 = jnp.zeros((2, 1), jnp.int32)
+    max_len = sampling._round_cache_len(1 + 4 + 1)
+    logits, cache, length = sampling._prefill_args(model, params, idx0,
+                                                   None, max_len)
+    tok = jnp.asarray([3, 5], jnp.int32)
+    vals, idx, logz, _, l2 = model.apply(
+        params, tok, cache, length, k=4, method=gpt2.GPT.decode_step_topk)
+    dense, _, _ = model.apply(params, tok, cache, length,
+                              method=gpt2.GPT.decode_step)
+    want_v, want_i = jax.lax.top_k(dense.astype(jnp.float32), 4)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(logz),
+        np.asarray(jax.nn.logsumexp(dense.astype(jnp.float32), axis=-1)),
+        rtol=1e-5, atol=1e-5)
+    assert int(l2) == int(length) + 1
+
+
 def test_beam1_equals_greedy(tiny_gpt):
     model, params, cfg = tiny_gpt
     rng = np.random.default_rng(1)
