@@ -88,16 +88,31 @@ class SelfAttention(nn.Module):
         inner = self.n_heads * self.head_dim
         dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
                                          param_dtype=jnp.float32, name=name)
-        # NOTE: a folded fast path (rope + attention on [B, T, E], heads
-        # never unfolded — ops/rope.py:apply_rope_folded +
-        # ops/attention.py:slab_attention_folded) measured SLOWER at the
-        # flagship shape (127 vs 112 ms/layer on v5e): XLA fuses this
-        # unfolded chain well, and the roll-based folded rope loses to the
-        # reshape form. The folded ops stay available and tested.
+        # NOTE on layout strategy (measured on v5e at the flagship shape):
+        # - a folded XLA fast path (rope + attention on [B, T, E] via
+        #   ops/rope.py:apply_rope_folded + slab_attention_folded) measured
+        #   SLOWER (127 vs 112 ms/layer): the roll-based folded rope loses
+        #   to the reshape form under XLA.
+        # - the rope-FUSED Pallas path below (q/k/v stay [B, T, E]; RoPE
+        #   rotates inside the kernel) measured FASTER (101 vs 112 ms/layer,
+        #   bit-identical output) and is taken when the geometry qualifies.
         shape = (b, t, self.n_heads, self.head_dim)
         qf = dense(inner, "qw")(x)
         kf = dense(inner, "kw")(x)
         vf = dense(inner, "vw")(x)
+        if (rope is not None and getattr(rope, "ndim", 0) == 3
+                and rope.shape[0] >= t and mask is None and positions is None
+                and mask_mode == "slab"
+                and (self.rope_align == "suffix" or rope.shape[0] == t)
+                and impl == "auto"):
+            from frankenstein_tpu.ops.pallas import block_attention
+            if block_attention.rope_fused_supported(
+                    b, t, inner, self.n_heads, tok_per_time,
+                    jnp.dtype(qf.dtype).itemsize):
+                out = attn_ops.slab_attention_rope_fused(
+                    qf, kf, vf, n_heads=self.n_heads,
+                    tok_per_time=tok_per_time, rope_cache=rope)
+                return dense(self.dim, "project")(out)
         q, k, v = qf.reshape(shape), kf.reshape(shape), vf.reshape(shape)
         if rope is not None:
             from frankenstein_tpu.ops import rope as rope_ops

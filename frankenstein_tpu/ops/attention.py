@@ -102,6 +102,38 @@ def dot_product_attention(
                           tok_per_time=tok_per_time)
 
 
+def slab_attention_rope_fused(q, k, v, *, n_heads: int, tok_per_time: int,
+                              rope_cache, impl: str = "auto") -> jnp.ndarray:
+    """Slab-causal attention over UNROTATED folded [B, T, E] q/k/v with RoPE
+    applied inside the Pallas kernel (suffix-aligned decode semantics).
+
+    On qualifying TPU geometry this skips the ~11-16 ms/layer XLA rope pass
+    over the 4x-padded [B, T, H, D] layout AND the head unfold/refold
+    transposes (see ops/pallas/block_attention.py rope-fused section);
+    otherwise it falls back to the standard apply_rope + dispatch chain.
+    Replaces apply_rope + F.scaled_dot_product_attention
+    (reference:models/brainformer.py:146-168)."""
+    b, t, e = q.shape
+    from frankenstein_tpu.ops.pallas import block_attention
+    interp = impl == "pallas"
+    if (impl in ("auto", "pallas") and rope_cache.ndim == 3
+            and rope_cache.shape[0] >= t
+            and block_attention.rope_fused_supported(
+                b, t, e, n_heads, tok_per_time,
+                jnp.dtype(q.dtype).itemsize, interpret=interp)):
+        return block_attention.slab_causal_attention_rope(
+            q, k, v, tok_per_time, rope_cache, n_heads, interpret=interp)
+    from frankenstein_tpu.ops import rope as rope_ops
+    d = e // n_heads
+    r = lambda x: x.reshape(b, t, n_heads, d)
+    qr = rope_ops.apply_rope(r(q), rope_cache)
+    kr = rope_ops.apply_rope(r(k), rope_cache)
+    out = dot_product_attention(qr, kr, r(v), mask_mode="slab",
+                                tok_per_time=tok_per_time,
+                                impl="xla" if impl == "pallas" else impl)
+    return out.reshape(b, t, e)
+
+
 def slab_attention_folded(q, k, v, *, n_heads: int, tok_per_time: int,
                           impl: str = "auto") -> jnp.ndarray:
     """Slab-causal attention on FOLDED [B, T, E] tensors -> [B, T, E].

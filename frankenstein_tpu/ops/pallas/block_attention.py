@@ -1008,3 +1008,262 @@ def dense_flash_attention(q, k, v, tile: int = 256,
     to3 = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
     out3 = _slab_attention(to3(q), to3(k), to3(v), tile, interpret, False, h)
     return jnp.transpose(out3.reshape(b, h, t, d), (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# rope-fused packed forward: [B, T, E] in/out, RoPE applied IN KERNEL
+# ---------------------------------------------------------------------------
+#
+# At the flagship encoder shape the XLA rope pass costs ~11-16 ms/layer: the
+# [B, T, H, D] convention tiles its (8, 32) minor dims to (8, 128) — 4x
+# padded HBM traffic — and the pack transposes around the packed kernel move
+# 400 MB each way. This entry instead consumes the UNROTATED q/k/v
+# projections in their native [B, T, E] layout (head h = columns
+# [h*D, (h+1)*D), matching the reference's view,
+# reference:models/brainformer.py:146-152): grid axis 0 enumerates
+# (batch, head-group) pairs and the BlockSpec index maps slice 128-lane head
+# groups straight out of the activation — zero layout movement. The sin/cos
+# tables ([T, P*D] f32, ~3 MB each) ride whole in VMEM (constant index map
+# -> fetched once) and rotation happens on resident blocks: the q block is
+# rotated ONCE per row at its first pair (c == 0, cached in scratch), k
+# chunks per pair (VPU work, overlapped with the MXU dots).
+#
+# Rotation math matches ops/rope.py:apply_rope_folded (adjacent-lane pairs,
+# the reference's view_as_complex convention,
+# reference:models/brainformer.py:70-91); the pair swap is two lane rotates
+# + a parity select. f32 tables + f32 rotation keep the result BIT-IDENTICAL
+# to apply_rope + slab_causal_attention (measured on v5e; bf16 rotates are
+# rejected by Mosaic's tpu.dynamic_rotate anyway).
+#
+# Measured at the flagship shape on v5e: 101.2 ms/layer vs 112.3 for the
+# rope + transpose + packed-kernel chain (~44 ms off the 4-layer encode).
+
+ROPE_FUSED_VMEM = 40 * 1024 * 1024
+
+
+def _rot_rows(x, cos_ref, sin_ref, row0, rows):
+    """Rotate [R, P*D] lanes with table rows [row0, row0+rows) — f32 math,
+    result cast back to x.dtype (same rounding point as the XLA chain)."""
+    from jax.experimental.pallas import tpu as pltpu
+    xf = x.astype(jnp.float32)
+    cos = cos_ref[pl.ds(row0, rows), :]
+    sin = sin_ref[pl.ds(row0, rows), :]
+    even = (jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1) % 2) == 0
+    lanes = xf.shape[-1]
+    xs = jnp.where(even, pltpu.roll(xf, lanes - 1, 1), pltpu.roll(xf, 1, 1))
+    sign = jnp.where(even, -1.0, 1.0)
+    return (xf * cos + xs * (sign * sin)).astype(x.dtype)
+
+
+def _fwd_packed_rope_kernel(i_ref, c_ref, first_ref, last_ref,
+                            q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                            o_ref, lse_ref, *scr,
+                            block: int, qb: int, chunk: int, scale: float,
+                            d: int, npack: int):
+    """_fwd_packed_kernel with in-kernel rotation (causal only)."""
+    s_scr, acc_scr, qrot_scr = scr[0], scr[1], scr[2]
+    m_scrs, l_scrs = scr[3:3 + npack], scr[3 + npack:3 + 2 * npack]
+    pd = npack * d
+    p = pl.program_id(1)
+    i = i_ref[p]
+    c = c_ref[p]
+
+    @pl.when(first_ref[p] == 1)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        qrot_scr[...] = _rot_rows(q_ref[0], cos_ref, sin_ref, i * qb, qb
+                                  ).astype(qrot_scr.dtype)
+        for h in range(npack):
+            m_scrs[h][...] = jnp.full_like(m_scrs[h], -jnp.inf)
+            l_scrs[h][...] = jnp.zeros_like(l_scrs[h])
+
+    q = qrot_scr[...]
+    kc = _rot_rows(k_ref[0], cos_ref, sin_ref, c * chunk, chunk)
+    vc = v_ref[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 1)
+    kbd = jnp.where((sub // chunk) == (lane2 // d),
+                    jnp.tile(kc, (npack, 1)), 0).astype(vc.dtype)
+    s_scr[...] = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    allowed = _slab_mask(i, c, (qb, chunk), block=block, qb=qb, chunk=chunk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, pd), 1) // d
+    for h in range(npack):
+        sh = jnp.where(allowed, s_scr[:, h * chunk:(h + 1) * chunk], NEG_INF)
+        m_prev = m_scrs[h][...]
+        m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
+        pexp_h = jnp.exp(sh - m_new)
+        alpha_h = jnp.exp(m_prev - m_new)
+        l_scrs[h][...] = (l_scrs[h][...] * alpha_h
+                          + jnp.sum(pexp_h, axis=-1, keepdims=True))
+        m_scrs[h][...] = m_new
+        vbd_h = jnp.where(lane == h, vc, 0).astype(vc.dtype)
+        blend = jnp.where(lane == h, alpha_h, 1.0)
+        acc_scr[...] = acc_scr[...] * blend + jax.lax.dot_general(
+            pexp_h.astype(vc.dtype), vbd_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize():
+        l_band = jnp.zeros((qb, pd), jnp.float32)
+        for h in range(npack):
+            l_band = l_band + jnp.where(lane == h, l_scrs[h][...], 0.0)
+        o_ref[0] = (acc_scr[...] / l_band).astype(o_ref.dtype)
+        for h in range(npack):
+            lse_ref[0, h, pl.ds(i * qb, qb)] = (
+                m_scrs[h][...] + jnp.log(l_scrs[h][...]))[:, 0]
+
+
+def _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, *, block: int,
+                         n_heads: int, interpret: bool):
+    """Packed causal forward over [B, T, E] with in-kernel rope.
+
+    Returns (out [B, T, E], lse4 [B*NG, NPACK, T]) where head
+    h = g*NPACK + p of batch b lives at lse4[b*NG + g, p]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, e = q.shape
+    d = e // n_heads
+    npack, qb, chunk = _pack_plan(t, d, n_heads, block)
+    pd = npack * d
+    ng = e // pd
+    nb = b * ng
+    scale = 1.0 / (d ** 0.5)
+    pr = _triangle_pairs(t, block, qb, chunk, True)
+    i_arr, c_arr, last_arr = pr
+    first_arr = (c_arr == 0).astype(c_arr.dtype)
+
+    qspec = pl.BlockSpec((1, qb, pd),
+                         lambda g, p, i_r, c_r, f_r, l_r: (g // ng, i_r[p],
+                                                           g % ng))
+    kvspec = pl.BlockSpec((1, chunk, pd),
+                          lambda g, p, i_r, c_r, f_r, l_r: (g // ng, c_r[p],
+                                                            g % ng))
+    tabspec = pl.BlockSpec((t, pd), lambda g, p, i_r, c_r, f_r, l_r: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb, len(i_arr)),
+        in_specs=[qspec, kvspec, kvspec, tabspec, tabspec],
+        out_specs=[
+            qspec,
+            pl.BlockSpec((1, npack, t),
+                         lambda g, p, i_r, c_r, f_r, l_r: (g, 0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((qb, npack * chunk), jnp.float32),
+             pltpu.VMEM((qb, pd), jnp.float32),
+             pltpu.VMEM((qb, pd), q.dtype)]
+            + [pltpu.VMEM((qb, 1), jnp.float32) for _ in range(2 * npack)]),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_packed_rope_kernel, block=block, qb=qb,
+                          chunk=chunk, scale=scale, d=d, npack=npack),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, e), q.dtype),
+            jax.ShapeDtypeStruct((nb, npack, t), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * nb * len(i_arr) * qb * npack * chunk * d),
+            bytes_accessed=int(4 * b * t * e * 4),
+            transcendentals=int(nb * len(i_arr) * qb * npack * chunk),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=ROPE_FUSED_VMEM),
+        interpret=interpret,
+    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(first_arr),
+      jnp.asarray(last_arr), q, k, v, cos_pd, sin_pd)
+
+
+def rope_tables_packed(cache: jnp.ndarray, npack: int, dtype=jnp.float32):
+    """[S, d//2, 2] rope cache -> (cos, sin) [S, npack*d] lane tables
+    (each cache column repeated for lanes 2i, 2i+1, tiled per packed head)."""
+    cos = jnp.repeat(cache[..., 0], 2, axis=-1)
+    sin = jnp.repeat(cache[..., 1], 2, axis=-1)
+    return (jnp.tile(cos, (1, npack)).astype(dtype),
+            jnp.tile(sin, (1, npack)).astype(dtype))
+
+
+def rope_fused_supported(b: int, t: int, e: int, n_heads: int,
+                         tok_per_time: int, itemsize: int = 2,
+                         interpret: bool = False) -> bool:
+    """Static gate for ``slab_causal_attention_rope`` (callers fall back to
+    the apply_rope + slab_causal_attention chain)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if e % n_heads != 0:
+        return False
+    d = e // n_heads
+    plan = _pack_plan(t, d, n_heads, tok_per_time)
+    if plan is None:
+        return False
+    npack, qb, chunk = plan
+    if e % (npack * d) != 0:
+        return False
+    resident = (_packed_resident_bytes(t, d, itemsize, plan)
+                + 2 * t * npack * d * 4          # sin/cos tables
+                + qb * npack * d * itemsize)     # rotated-q scratch
+    return resident < ROPE_FUSED_VMEM
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _slab_rope_attention(q, k, v, cos_pd, sin_pd, block: int, n_heads: int,
+                         interpret: bool):
+    out, _ = _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, block=block,
+                                  n_heads=n_heads, interpret=interpret)
+    return out
+
+
+def _slab_rope_attention_fwd(q, k, v, cos_pd, sin_pd, block, n_heads,
+                             interpret):
+    out, lse4 = _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, block=block,
+                                     n_heads=n_heads, interpret=interpret)
+    return out, (q, k, v, cos_pd, sin_pd, out, lse4)
+
+
+def _slab_rope_attention_bwd(block, n_heads, interpret, res, do):
+    """Backward: rotate with the cheap folded-layout XLA rope, run the
+    per-head triangle bwd kernels, rotate dq/dk back by the inverse rotation
+    (R(-theta): same cos, negated sin)."""
+    from frankenstein_tpu.ops import rope as rope_ops
+
+    q, k, v, cos_pd, sin_pd, out, lse4 = res
+    b, t, e = q.shape
+    d = e // n_heads
+    cos_e = jnp.tile(cos_pd[:, :d], (1, n_heads))
+    sin_e = jnp.tile(sin_pd[:, :d], (1, n_heads))
+    qr = rope_ops.apply_rope_folded(q, cos_e, sin_e)
+    kr = rope_ops.apply_rope_folded(k, cos_e, sin_e)
+    to3 = lambda x: jnp.transpose(x.reshape(b, t, n_heads, d),
+                                  (0, 2, 1, 3)).reshape(b * n_heads, t, d)
+    lse = lse4.reshape(b * n_heads, t)[:, None, :]
+    scale = 1.0 / (d ** 0.5)
+    dqr, dkr, dv = _bwd(to3(qr), to3(kr), to3(v), to3(out), to3(do), lse,
+                        block=block, scale=scale, interpret=interpret,
+                        causal=True)
+    fold = lambda x3: jnp.transpose(x3.reshape(b, n_heads, t, d),
+                                    (0, 2, 1, 3)).reshape(b, t, e)
+    dq = rope_ops.apply_rope_folded(fold(dqr), cos_e, -sin_e)
+    dk = rope_ops.apply_rope_folded(fold(dkr), cos_e, -sin_e)
+    return dq, dk, fold(dv), jnp.zeros_like(cos_pd), jnp.zeros_like(sin_pd)
+
+
+_slab_rope_attention.defvjp(_slab_rope_attention_fwd,
+                            _slab_rope_attention_bwd)
+
+
+def slab_causal_attention_rope(q, k, v, tok_per_time: int, rope_cache,
+                               n_heads: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Slab-causal flash attention over UNROTATED [B, T, E] q/k/v with RoPE
+    applied in-kernel (suffix-aligned, the reference's decode semantics,
+    reference:models/brainformer.py:80). Callers gate on
+    ``rope_fused_supported``; rope_cache: [S >= T, d//2, 2]."""
+    b, t, e = q.shape
+    d = e // n_heads
+    npack = PACK_LANES // d
+    cos_pd, sin_pd = rope_tables_packed(rope_cache[-t:], npack)
+    return _slab_rope_attention(q, k, v, cos_pd, sin_pd, tok_per_time,
+                                n_heads, interpret)

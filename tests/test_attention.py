@@ -332,3 +332,73 @@ def test_folded_slab_attention_matches_unfolded():
     gx = jax.grad(lx, (0, 1, 2))(fold(q), fold(k), fold(v))
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_rope_fused_matches_rope_plus_slab():
+    """The rope-fused [B, T, E] kernel (RoPE rotated IN KERNEL, production
+    qb=512/chunk=1024 tiling) must match apply_rope + the XLA slab oracle —
+    forward and grads (the bwd path rotates with the folded XLA rope, runs
+    the triangle bwd kernels, and rotates dq/dk back by R(-theta))."""
+    from frankenstein_tpu.ops import rope as rope_ops
+    from frankenstein_tpu.ops.pallas import block_attention
+
+    rng = np.random.default_rng(33)
+    b, t, h, d, p = 2, 2048, 8, 32, 256
+    e = h * d
+    assert block_attention.rope_fused_supported(b, t, e, h, p, 4,
+                                                interpret=True)
+    q = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.3
+    k, v = q * 1.01, q * 0.99
+    cache = rope_ops.build_rope_cache(d, t)
+    r4 = lambda x: x.reshape(b, t, h, d)
+
+    out = block_attention.slab_causal_attention_rope(q, k, v, p, cache, h,
+                                                     interpret=True)
+    qr = rope_ops.apply_rope(r4(q), cache)
+    kr = rope_ops.apply_rope(r4(k), cache)
+    ref = attention.dot_product_attention(qr, kr, r4(v), mask_mode="slab",
+                                          tok_per_time=p, impl="xla"
+                                          ).reshape(b, t, e)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    w = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32)
+
+    def lf(q, k, v):
+        o = block_attention.slab_causal_attention_rope(q, k, v, p, cache, h,
+                                                       interpret=True)
+        return jnp.sum(o * w)
+
+    def lx(q, k, v):
+        qr = rope_ops.apply_rope(r4(q), cache)
+        kr = rope_ops.apply_rope(r4(k), cache)
+        o = attention.dot_product_attention(qr, kr, r4(v), mask_mode="slab",
+                                            tok_per_time=p, impl="xla")
+        return jnp.sum(o.reshape(b, t, e) * w)
+
+    gf = jax.grad(lf, (0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, (0, 1, 2))(q, k, v)
+    for a, bb in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-4)
+
+
+def test_rope_fused_dispatch_falls_back_off_tpu():
+    """slab_attention_rope_fused must produce oracle results through the
+    fallback chain when the kernel gate rejects (CPU backend)."""
+    from frankenstein_tpu.ops import rope as rope_ops
+
+    rng = np.random.default_rng(34)
+    b, t, h, d, p = 1, 512, 8, 32, 128
+    e = h * d
+    q = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.3
+    cache = rope_ops.build_rope_cache(d, t)
+    out = attention.slab_attention_rope_fused(q, k, v, n_heads=h,
+                                              tok_per_time=p, rope_cache=cache)
+    r4 = lambda x: x.reshape(b, t, h, d)
+    qr = rope_ops.apply_rope(r4(q), cache)
+    kr = rope_ops.apply_rope(r4(k), cache)
+    ref = attention.dot_product_attention(qr, kr, r4(v), mask_mode="slab",
+                                          tok_per_time=p, impl="xla"
+                                          ).reshape(b, t, e)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
