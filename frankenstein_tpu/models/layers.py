@@ -32,8 +32,10 @@ class RMSNorm(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params: bool = False):
         weight = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
+        if return_params:
+            return weight, None
         return norms.rms_norm(x, weight, self.eps)
 
 
@@ -44,10 +46,12 @@ class LayerNorm(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params: bool = False):
         weight = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
                 if self.use_bias else None)
+        if return_params:
+            return weight, bias
         return norms.layer_norm(x, weight, bias, self.eps)
 
 
@@ -57,19 +61,44 @@ def make_norm(kind: str, dim: int, name: str):
     return LayerNorm(dim, name=name)
 
 
+class _DenseKernel(nn.Module):
+    """Declares a bias-free Dense kernel param (path ``<name>/kernel``, same
+    init as ``nn.Dense``) without forcing a matmul — so callers can either run
+    the standard XLA chain or hand the raw weights to a fused Pallas kernel
+    while the param tree stays byte-identical to the ``nn.Dense`` layout that
+    checkpoints and the TP sharding rules (parallel/sharding.py) match on."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_dim, self.features), jnp.float32)
+
+
 class SwiGLU(nn.Module):
-    """reference:models/brainformer.py:115-124 (w2(silu(w1 x) * w3 x))."""
+    """reference:models/brainformer.py:115-124 (w2(silu(w1 x) * w3 x)).
+
+    Numerics are the exact ``nn.Dense(dtype=...)`` composition (inputs and
+    kernels cast to the compute dtype at each dense boundary) via
+    ``ops.pallas.fused_mlp.swiglu_fn``; ``return_params=True`` exposes the
+    kernels for the fused norm+MLP Pallas path in ``Block``."""
 
     dim: int
     hidden_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                         param_dtype=jnp.float32, name=name)
-        return dense(self.dim, "w2")(nn.silu(dense(self.hidden_dim, "w1")(x))
-                                     * dense(self.hidden_dim, "w3")(x))
+    def __call__(self, x=None, *, return_params: bool = False):
+        in_dim = self.dim if x is None else x.shape[-1]
+        w1 = _DenseKernel(in_dim, self.hidden_dim, name="w1")()
+        w3 = _DenseKernel(in_dim, self.hidden_dim, name="w3")()
+        w2 = _DenseKernel(self.hidden_dim, self.dim, name="w2")()
+        if return_params:
+            return w1, w3, w2
+        from frankenstein_tpu.ops.pallas import fused_mlp
+        return fused_mlp.swiglu_fn(x, w1, w3, w2, self.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -170,8 +199,18 @@ class Block(nn.Module):
                      mask=mask, mask_mode=mask_mode,
                      tok_per_time=tok_per_time, positions=positions,
                      rope=rope, impl=impl)
-        x = x + mlp(make_norm(self.norm, self.dim, "ln_2")(x))
-        return x
+        norm2 = make_norm(self.norm, self.dim, "ln_2")
+        from frankenstein_tpu.ops.pallas import fused_mlp
+        b, t, e = x.shape
+        if (impl == "auto" and fused_mlp.ENABLED
+                and x.dtype == jnp.dtype(self.dtype)
+                and fused_mlp.supported(b, t, e, self.hidden_dim,
+                                        jnp.dtype(x.dtype).itemsize)):
+            nw, nb = norm2(None, return_params=True)
+            w1, w3, w2 = mlp(return_params=True)
+            return fused_mlp.fused_norm_swiglu(x, nw, nb, w1, w3, w2,
+                                               kind=self.norm)
+        return x + mlp(norm2(x))
 
 
 class CrossBlock(nn.Module):
