@@ -416,3 +416,155 @@ def save_state_dict(sd: Mapping[str, np.ndarray], path: str) -> None:
     from safetensors.numpy import save_file
 
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+
+# ---------------------------------------------------------------------------
+# VQ-VAE "SoundStream" (reference:models/vq_brain.py:162-218)
+# ---------------------------------------------------------------------------
+#
+# Conv layouts (verified numerically against torch in
+# tests/test_import_reference.py):
+#   torch nn.Conv1d          weight [out, in, k]  -> flax Conv kernel
+#                            transpose(2, 1, 0) = [k, in, out]
+#   torch nn.ConvTranspose1d weight [in, out, k]  -> flax ConvTranspose kernel
+#                            transpose(2, 0, 1) FLIPPED along the spatial
+#                            axis (lax.conv_transpose applies the kernel as a
+#                            forward correlation; torch's transposed conv
+#                            scatter-adds it unflipped)
+#
+# Reference module indices (nn.Sequential positions, vq_brain.py:48-159):
+#   Encoder.layers: 0 conv k5 | 2, 4 EncoderBlock | 6 conv k3
+#   EncoderBlock.layers: 0, 2, 4 ResidualUnit | 6 strided conv
+#   Decoder.layers: 0 conv k3 | 2, 4 DecoderBlock | 6 conv k5
+#   DecoderBlock.layers: 0 transpose conv | 2, 4, 6 ResidualUnit
+#   ResidualUnit.layers: 0 causal conv k3 | 2 conv k1
+#
+# The quantizer state comes from vector_quantize_pytorch
+# (``quantizer._codebook.{embed, cluster_size, ...}``) and lands in our "vq"
+# variable collection (ops/vq.py); ``initted`` imports as True — a trained
+# checkpoint's codebook must not be k-means re-initialized.
+
+
+def _conv(v: _View, key: str) -> dict:
+    w = v.take(key + ".weight")
+    d = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0)))}
+    if (key + ".bias") in v:
+        d["bias"] = v.take(key + ".bias")
+    return {"Conv_0": d}
+
+
+def _conv_transpose(v: _View, key: str) -> dict:
+    w = v.take(key + ".weight")
+    d = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1])}
+    if (key + ".bias") in v:
+        d["bias"] = v.take(key + ".bias")
+    return {"ConvTranspose_0": d}
+
+
+def _residual_unit(v: _View, key: str) -> dict:
+    return {"CausalConv1d_0": _conv(v, key + ".layers.0"),
+            "Conv_0": _conv(v, key + ".layers.2")["Conv_0"]}
+
+
+def _conv_encoder(v: _View, prefix: str) -> dict:
+    blocks = {}
+    for bi, li in enumerate((2, 4)):
+        bp = f"{prefix}.layers.{li}.layers"
+        blocks[f"EncoderBlock_{bi}"] = {
+            **{f"ResidualUnit_{ri}": _residual_unit(v, f"{bp}.{2 * ri}")
+               for ri in range(3)},
+            "CausalConv1d_0": _conv(v, f"{bp}.6"),
+        }
+    return {"CausalConv1d_0": _conv(v, f"{prefix}.layers.0"),
+            **blocks,
+            "CausalConv1d_1": _conv(v, f"{prefix}.layers.6")}
+
+
+def _conv_decoder(v: _View, prefix: str) -> dict:
+    blocks = {}
+    for bi, li in enumerate((2, 4)):
+        bp = f"{prefix}.layers.{li}.layers"
+        blocks[f"DecoderBlock_{bi}"] = {
+            "CausalConvTranspose1d_0": _conv_transpose(v, f"{bp}.0"),
+            **{f"ResidualUnit_{ri}": _residual_unit(v, f"{bp}.{2 * (ri + 1)}")
+               for ri in range(3)},
+        }
+    return {"CausalConv1d_0": _conv(v, f"{prefix}.layers.0"),
+            **blocks,
+            "CausalConv1d_1": _conv(v, f"{prefix}.layers.6")}
+
+
+def soundstream_params(sd: StateDict) -> dict:
+    """Reference ``SoundStream`` state dict -> flax variables for
+    models.vq_brain.SoundStream: {'params': ..., 'vq': ...}."""
+    v = _View(sd)
+    params = {"encoder": _conv_encoder(v, "encoder"),
+              "decoder": _conv_decoder(v, "decoder")}
+    embed_keys = [k for k in sd
+                  if k.startswith("quantizer.") and k.endswith("embed")]
+    if not embed_keys:
+        raise ValueError("no quantizer codebook ('quantizer.*embed') found")
+    codebook = _f32(sd[embed_keys[0]])
+    if codebook.ndim == 3:          # newer vector_quantize_pytorch: [1, K, D]
+        codebook = codebook[0]
+    k = codebook.shape[0]
+    cs_keys = [key for key in sd if key.startswith("quantizer.")
+               and key.endswith("cluster_size")]
+    cluster = _f32(sd[cs_keys[0]]).reshape(-1) if cs_keys \
+        else np.ones((k,), np.float32)
+    vq = {"quantizer": {"codebook": codebook,
+                        "cluster_size": cluster,
+                        "initted": np.ones((), np.bool_)}}
+    return {"params": params, "vq": vq}
+
+
+def _export_conv(out: dict, key: str, d: dict) -> None:
+    c = d["Conv_0"]
+    out[key + ".weight"] = np.ascontiguousarray(_np(c["kernel"]).transpose(2, 1, 0))
+    if "bias" in c:
+        out[key + ".bias"] = _np(c["bias"])
+
+
+def _export_conv_transpose(out: dict, key: str, d: dict) -> None:
+    c = d["ConvTranspose_0"]
+    out[key + ".weight"] = np.ascontiguousarray(
+        _np(c["kernel"])[::-1].transpose(1, 2, 0))
+    if "bias" in c:
+        out[key + ".bias"] = _np(c["bias"])
+
+
+def _export_residual_unit(out: dict, key: str, p: dict) -> None:
+    _export_conv(out, key + ".layers.0", p["CausalConv1d_0"])
+    _export_conv(out, key + ".layers.2", {"Conv_0": p["Conv_0"]})
+
+
+def export_soundstream(variables: dict) -> dict:
+    p = variables["params"]
+    out: dict = {}
+    for side, prefix in (("encoder", "encoder"), ("decoder", "decoder")):
+        sp = p[side]
+        _export_conv(out, f"{prefix}.layers.0", sp["CausalConv1d_0"])
+        _export_conv(out, f"{prefix}.layers.6", sp["CausalConv1d_1"])
+        for bi, li in enumerate((2, 4)):
+            bp = f"{prefix}.layers.{li}.layers"
+            if side == "encoder":
+                b = sp[f"EncoderBlock_{bi}"]
+                for ri in range(3):
+                    _export_residual_unit(out, f"{bp}.{2 * ri}",
+                                          b[f"ResidualUnit_{ri}"])
+                _export_conv(out, f"{bp}.6", b["CausalConv1d_0"])
+            else:
+                b = sp[f"DecoderBlock_{bi}"]
+                _export_conv_transpose(out, f"{bp}.0",
+                                       b["CausalConvTranspose1d_0"])
+                for ri in range(3):
+                    _export_residual_unit(out, f"{bp}.{2 * (ri + 1)}",
+                                          b[f"ResidualUnit_{ri}"])
+    q = variables["vq"]["quantizer"]
+    embed = _np(q["codebook"])
+    out["quantizer._codebook.embed"] = embed
+    out["quantizer._codebook.cluster_size"] = _np(q["cluster_size"])
+    out["quantizer._codebook.embed_avg"] = \
+        embed * _np(q["cluster_size"])[:, None]
+    out["quantizer._codebook.initted"] = np.ones((1,), np.float32)
+    return out

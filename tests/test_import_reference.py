@@ -274,3 +274,152 @@ def test_safetensors_file_roundtrip(tmp_path):
     assert set(loaded) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(loaded[k], sd[k])
+
+
+# ---------------------------------------------------------------------------
+# SoundStream VQ-VAE: conv layouts verified against torch itself
+# (torch ships CPU-only in this environment; the twin below restates the
+# reference conv stack semantics, reference:models/vq_brain.py:22-159)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from frankenstein_tpu.config import VQVAEConfig
+from frankenstein_tpu.models.vq_brain import ConvDecoder, ConvEncoder, SoundStream
+
+VCFG = VQVAEConfig(n_electrodes=6, C=8, D=4, codebook_size=16, strides=(2, 2))
+
+
+def ref_soundstream_sd(cfg, rng):
+    sd = {}
+
+    def conv(key, out_c, in_c, k):
+        sd[key + ".weight"] = rng.normal(size=(out_c, in_c, k)).astype(np.float32) * 0.2
+        sd[key + ".bias"] = rng.normal(size=(out_c,)).astype(np.float32) * 0.1
+
+    def res_unit(key, c):
+        conv(key + ".layers.0", c, c, 3)
+        conv(key + ".layers.2", c, c, 1)
+
+    C, D, E = cfg.C, cfg.D, cfg.n_electrodes
+    conv("encoder.layers.0", C, E, 5)
+    for li, s in zip((2, 4), cfg.strides):
+        for ri in range(3):
+            res_unit(f"encoder.layers.{li}.layers.{2 * ri}", C)
+        conv(f"encoder.layers.{li}.layers.6", C, C, 2 * s)
+    conv("encoder.layers.6", D, C, 3)
+
+    conv("decoder.layers.0", C, D, 3)
+    for li, s in zip((2, 4), cfg.strides):
+        # ConvTranspose1d weight is [in, out, k]
+        sd[f"decoder.layers.{li}.layers.0.weight"] = \
+            rng.normal(size=(C, C, 2 * s)).astype(np.float32) * 0.2
+        sd[f"decoder.layers.{li}.layers.0.bias"] = \
+            rng.normal(size=(C,)).astype(np.float32) * 0.1
+        for ri in range(3):
+            res_unit(f"decoder.layers.{li}.layers.{2 * (ri + 1)}", C)
+    conv("decoder.layers.6", E, C, 5)
+
+    sd["quantizer._codebook.embed"] = rng.normal(
+        size=(cfg.codebook_size, D)).astype(np.float32)
+    sd["quantizer._codebook.cluster_size"] = np.ones(
+        (cfg.codebook_size,), np.float32)
+    return sd
+
+
+def _torch_twin():
+    import torch
+    import torch.nn.functional as F
+
+    def causal_conv(x, w, b, stride=1):
+        pad = w.shape[2] - 1
+        return F.conv1d(F.pad(x, [pad, 0]), w, b, stride=stride)
+
+    def res_unit(x, W, p):
+        h = F.elu(causal_conv(x, W(p + ".layers.0.weight"), W(p + ".layers.0.bias")))
+        return x + F.conv1d(h, W(p + ".layers.2.weight"), W(p + ".layers.2.bias"))
+
+    def encoder(x, W, strides):
+        h = F.elu(causal_conv(x, W("encoder.layers.0.weight"),
+                              W("encoder.layers.0.bias")))
+        for li, s in zip((2, 4), strides):
+            p = f"encoder.layers.{li}.layers"
+            for ri in range(3):
+                h = F.elu(res_unit(h, W, f"{p}.{2 * ri}"))
+            h = F.elu(causal_conv(h, W(p + ".6.weight"), W(p + ".6.bias"), stride=s))
+        return causal_conv(h, W("encoder.layers.6.weight"), W("encoder.layers.6.bias"))
+
+    def decoder(z, W, strides):
+        h = F.elu(causal_conv(z, W("decoder.layers.0.weight"),
+                              W("decoder.layers.0.bias")))
+        for li, s in zip((2, 4), strides):
+            p = f"decoder.layers.{li}.layers"
+            w = W(p + ".0.weight")
+            k = w.shape[2]
+            trim = (k - 1) + 1 - s          # reference causal_padding
+            h = F.conv_transpose1d(h, w, W(p + ".0.bias"), stride=s)[..., :-trim]
+            h = F.elu(h)
+            for ri in range(3):
+                h = res_unit(h, W, f"{p}.{2 * (ri + 1)}")
+                if ri < 2:
+                    h = F.elu(h)
+            h = F.elu(h)
+        return causal_conv(h, W("decoder.layers.6.weight"), W("decoder.layers.6.bias"))
+
+    return encoder, decoder
+
+
+def test_soundstream_convs_match_torch_twin():
+    import torch
+
+    rng = np.random.default_rng(10)
+    sd = ref_soundstream_sd(VCFG, rng)
+    W = lambda k: torch.tensor(sd[k])
+    t_enc, t_dec = _torch_twin()
+
+    x = rng.normal(size=(2, 16, VCFG.n_electrodes)).astype(np.float32)
+    want_z = t_enc(torch.tensor(x).permute(0, 2, 1), W, VCFG.strides)
+    want_z = want_z.permute(0, 2, 1).numpy()
+
+    variables = ir.soundstream_params(sd)
+    got_z = np.asarray(ConvEncoder(VCFG).apply(
+        {"params": variables["params"]["encoder"]}, jnp.asarray(x)))
+    np.testing.assert_allclose(got_z, want_z, atol=1e-5, rtol=1e-5)
+
+    z = rng.normal(size=(2, 4, VCFG.D)).astype(np.float32)
+    want_y = t_dec(torch.tensor(z).permute(0, 2, 1), W, VCFG.strides)
+    want_y = want_y.permute(0, 2, 1).numpy()
+    got_y = np.asarray(ConvDecoder(VCFG).apply(
+        {"params": variables["params"]["decoder"]}, jnp.asarray(z)))
+    np.testing.assert_allclose(got_y, want_y, atol=1e-5, rtol=1e-5)
+
+
+def test_soundstream_import_full_forward_and_roundtrip():
+    rng = np.random.default_rng(11)
+    sd = ref_soundstream_sd(VCFG, rng)
+    variables = ir.soundstream_params(sd)
+    q = variables["vq"]["quantizer"]
+    np.testing.assert_array_equal(q["codebook"], sd["quantizer._codebook.embed"])
+    assert bool(q["initted"])                   # trained ckpt: no k-means re-init
+
+    model = SoundStream(VCFG)
+    x = jax.random.normal(jax.random.key(0), (2, 16, VCFG.n_electrodes))
+    (loss, recon), _ = model.apply(variables, x, mutable=["aux"])
+    assert recon.shape == x.shape and np.isfinite(float(loss))
+
+    back = ir.export_soundstream(variables)
+    again = ir.soundstream_params(back)
+    _assert_trees_equal(again["params"], variables["params"])
+    _assert_trees_equal(
+        {k: v for k, v in again["vq"]["quantizer"].items()},
+        {k: v for k, v in variables["vq"]["quantizer"].items()})
+
+
+def test_soundstream_accepts_3d_codebook():
+    """Newer vector_quantize_pytorch stores embed as [1, K, D]."""
+    rng = np.random.default_rng(12)
+    sd = ref_soundstream_sd(VCFG, rng)
+    sd["quantizer._codebook.embed"] = sd["quantizer._codebook.embed"][None]
+    variables = ir.soundstream_params(sd)
+    assert variables["vq"]["quantizer"]["codebook"].shape == (
+        VCFG.codebook_size, VCFG.D)
