@@ -89,11 +89,16 @@ def _prefill_args(module, params, idx0, prefix, max_len):
 
 def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
              temperature: float = 1.0, top_k: Optional[int] = None,
-             greedy: bool = False) -> jnp.ndarray:
+             greedy: bool = False, int8_kv: bool = False) -> jnp.ndarray:
     """Top-k sampling (or greedy) with a KV cache.
 
     idx0: [B, T0] prompt ids (the reference seeds with <|endoftext|>);
     prefix: [B, P, n_embd] soft prompt or None. Returns [B, max_new_tokens].
+
+    ``int8_kv=True`` quantizes the prefilled cache to int8 (symmetric
+    per-(layer, lane) scales, models/gpt2.py:QuantCache) — halves the decode
+    kernel's dominant cache HBM stream and the cache footprint; accuracy is
+    property-tested (logit drift small vs the bf16 cache).
 
     Prefill and the sampling scan are jitted SEPARATELY (not one fused
     program): the remote-compile path of this TPU harness rejects the
@@ -104,6 +109,8 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
         idx0.shape[1] + (prefix.shape[1] if prefix is not None else 0)
         + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
+    if int8_kv:
+        cache = gpt2.quantize_cache(cache)
     return _sample_scan(module, params, logits, cache, length, rng,
                         max_new_tokens=max_new_tokens, temperature=temperature,
                         top_k=top_k, greedy=greedy)

@@ -213,3 +213,111 @@ def test_fused_supported_gate():
     # ragged seq / tiny embed rejected
     assert not fused_decode.supported(12, 12, 64, 128, 59, 2, interpret=True)
     assert not fused_decode.supported(2, 2, 16, 8, 16, 4, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (models/gpt2.py:QuantCache + fused_decode quantization)
+# ---------------------------------------------------------------------------
+
+def test_quantize_cache_roundtrip_exact_for_old_rows():
+    """dequantize -> requantize with the same fixed scales is lossless, so
+    the non-fused fallback only rounds the NEW row each step."""
+    from frankenstein_tpu.ops.pallas import fused_decode
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.normal(size=(2, 4, 16, 128)).astype(np.float32))
+    qc, scales = fused_decode.quantize_cache_side(k)
+    deq = fused_decode.dequantize_cache_side(qc, scales, jnp.float32)
+    again = fused_decode.quantize_with_scales(deq, scales)
+    np.testing.assert_array_equal(np.asarray(qc), np.asarray(again))
+    # quantization error bounded by half a step per lane
+    step = np.asarray(scales)[:, 0, :]                    # [L, E]
+    err = np.abs(np.asarray(deq) - np.asarray(k))
+    assert (err <= 0.5 * step[:, None, None, :] + 1e-6).all()
+
+
+def test_fused_decode_int8_matches_dequantized_float_path():
+    """The in-kernel dequant (scale folded into q / applied to the V sum)
+    must equal running the float kernel on the dequantized cache — isolates
+    the MECHANISM from quantization error (f32 compute in interpret mode)."""
+    cfg = _fused_geometry_cfg(True)
+    from frankenstein_tpu.ops.pallas import fused_decode
+    model = gpt2.GPT(cfg)
+    rng = np.random.default_rng(4)
+    b, t0, s = 8, 4, 16
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t0)), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+
+    cache = gpt2.init_cache(cfg, b, s)
+    _, cache, length = model.apply(params, idx0, None, cache,
+                                   method=gpt2.GPT.prefill)
+    qcache = gpt2.quantize_cache(cache)
+    deq_cache = (
+        fused_decode.dequantize_cache_side(qcache.k, qcache.k_scale, jnp.float32),
+        fused_decode.dequantize_cache_side(qcache.v, qcache.v_scale, jnp.float32),
+    )
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+    p = params["params"]
+    x = p["wte"][tok] + jax.lax.dynamic_slice_in_dim(p["wpe"], length, 1)[0]
+    x_q, qcache2 = gpt2._fused_blocks(cfg, p["h"], x, qcache, length,
+                                      interpret=True,
+                                      compute_dtype=jnp.float32)
+    x_f, fcache2 = gpt2._fused_blocks(cfg, p["h"], x, deq_cache, length,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(x_q), np.asarray(x_f),
+                               atol=1e-4, rtol=1e-4)
+    # the appended row quantizes with the fixed scales
+    row = np.asarray(qcache2.k)[:, :, int(length)]
+    want = np.asarray(fused_decode.quantize_rows(
+        jnp.asarray(np.asarray(fcache2[0])[:, :, int(length)]), qcache.k_scale))
+    np.testing.assert_array_equal(row, want)
+
+
+def test_int8_decode_step_accuracy_and_reorder():
+    """Full decode_step with a QuantCache (CPU -> dequant fallback path):
+    logits stay close to the float-cache step, and beam reordering gathers
+    codes while leaving the scales alone."""
+    cfg = _fused_geometry_cfg(True)
+    model = gpt2.GPT(cfg)
+    rng = np.random.default_rng(5)
+    b, t0, s = 4, 6, 16
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t0)), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+    cache = gpt2.init_cache(cfg, b, s)
+    logits, cache, length = model.apply(params, idx0, None, cache,
+                                        method=gpt2.GPT.prefill)
+    qcache = gpt2.quantize_cache(cache)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    for _ in range(2):
+        lf, cache, length_f = model.apply(params, tok, cache, length,
+                                          method=gpt2.GPT.decode_step)
+        lq, qcache, length = model.apply(params, tok, qcache, length,
+                                         method=gpt2.GPT.decode_step)
+        assert isinstance(qcache, gpt2.QuantCache)
+        scale = float(np.max(np.abs(np.asarray(lf)))) + 1e-6
+        drift = float(np.max(np.abs(np.asarray(lq) - np.asarray(lf)))) / scale
+        assert drift < 0.05, drift
+        tok = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+    order = jnp.asarray([1, 0, 3, 2], jnp.int32)
+    re = gpt2.GPT.reorder_cache(qcache, order)
+    np.testing.assert_array_equal(np.asarray(re.k),
+                                  np.asarray(qcache.k)[:, np.asarray(order)])
+    np.testing.assert_array_equal(np.asarray(re.k_scale),
+                                  np.asarray(qcache.k_scale))
+
+
+def test_generate_int8_kv_close_to_float():
+    """sampling.generate(int8_kv=True) greedy tokens match the float-cache
+    run on a case with a confident margin (teacher-forced prefix)."""
+    from frankenstein_tpu.decode import sampling
+    cfg = _fused_geometry_cfg(True)
+    model = gpt2.GPT(cfg)
+    rng = np.random.default_rng(6)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 5)), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+    out_f = sampling.generate(model, params, idx0, None, jax.random.key(1),
+                              max_new_tokens=6, greedy=True)
+    out_q = sampling.generate(model, params, idx0, None, jax.random.key(1),
+                              max_new_tokens=6, greedy=True, int8_kv=True)
+    agree = float(np.mean(np.asarray(out_f) == np.asarray(out_q)))
+    assert agree >= 0.75, agree   # random-init logits have thin margins
