@@ -89,7 +89,8 @@ def _prefill_args(module, params, idx0, prefix, max_len):
 
 def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
              temperature: float = 1.0, top_k: Optional[int] = None,
-             greedy: bool = False, int8_kv: bool = False) -> jnp.ndarray:
+             greedy: bool = False, int8_kv: bool = False,
+             int8_weights: bool = False) -> jnp.ndarray:
     """Top-k sampling (or greedy) with a KV cache.
 
     idx0: [B, T0] prompt ids (the reference seeds with <|endoftext|>);
@@ -98,7 +99,9 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     ``int8_kv=True`` quantizes the prefilled cache to int8 (symmetric
     per-(layer, lane) scales, models/gpt2.py:QuantCache) — halves the decode
     kernel's dominant cache HBM stream and the cache footprint; accuracy is
-    property-tested (logit drift small vs the bf16 cache).
+    property-tested (logit drift small vs the bf16 cache). ``int8_weights=
+    True`` (w8a16) additionally quantizes the block matmul weights ONCE per
+    call with per-(layer, out-lane) scales — fused TPU decode path only.
 
     Prefill and the sampling scan are jitted SEPARATELY (not one fused
     program): the remote-compile path of this TPU harness rejects the
@@ -111,7 +114,11 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
     if int8_kv:
         cache = gpt2.quantize_cache(cache)
+    qweights = (gpt2.quantize_decode_weights(
+        params, getattr(module, "dtype", jnp.bfloat16))
+        if int8_weights else None)
     return _sample_scan(module, params, logits, cache, length, rng,
+                        qweights=qweights,
                         max_new_tokens=max_new_tokens, temperature=temperature,
                         top_k=top_k, greedy=greedy)
 
@@ -119,7 +126,7 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
 @functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
                                              "top_k", "greedy"))
 def _sample_scan(module, params, logits, cache, length, rng, *,
-                 max_new_tokens: int, temperature: float = 1.0,
+                 qweights=None, max_new_tokens: int, temperature: float = 1.0,
                  top_k: Optional[int] = None, greedy: bool = False):
     # Compact-logits path: when the module can return just the top-k
     # (GPT.decode_step_topk — on TPU one fused ln_f+lm_head+top-k Pallas
@@ -150,7 +157,8 @@ def _sample_scan(module, params, logits, cache, length, rng, *,
         logits, cache, length = carry
         tok = pick(logits, r)
         logits, cache, length = module.apply(
-            params, tok, cache, length, method=type(module).decode_step)
+            params, tok, cache, length, qweights,
+            method=type(module).decode_step)
         return (logits, cache, length), tok
 
     rngs = jax.random.split(rng, max_new_tokens)

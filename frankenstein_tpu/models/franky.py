@@ -49,8 +49,8 @@ class Franky(nn.Module):
     def prefill(self, idx, prefix, cache):
         return self.llm_model.prefill(idx, prefix, cache)
 
-    def decode_step(self, token, cache, length):
-        return self.llm_model.decode_step(token, cache, length)
+    def decode_step(self, token, cache, length, qweights=None):
+        return self.llm_model.decode_step(token, cache, length, qweights)
 
     def decode_step_topk(self, token, cache, length, w_t=None, *, k: int):
         return self.llm_model.decode_step_topk(token, cache, length, w_t, k=k)

@@ -56,6 +56,42 @@ def quantize_cache(cache) -> QuantCache:
     return QuantCache(k8, v8, ks, vs)
 
 
+def _stack_decode_weights(h_params, cdt):
+    """The stacked-[L] dict the fused decode kernel consumes, from the
+    ``nn.scan`` block-stack params; matmul kernels cast to the compute
+    dtype, LN params stay f32 (the kernel lifts them itself)."""
+    e = h_params["ln_1"]["weight"].shape[-1]
+    nl = h_params["ln_1"]["weight"].shape[0]
+    zeros = lambda d: jnp.zeros((nl, d), cdt)
+    w = lambda a: a.astype(cdt)
+    return {
+        "ln1_w": h_params["ln_1"]["weight"],
+        "ln1_b": h_params["ln_1"].get("bias", zeros(e)),
+        "qkv_w": w(h_params["c_attn"]["kernel"]),
+        "qkv_b": h_params["c_attn"].get("bias", zeros(3 * e)),
+        "proj_w": w(h_params["c_proj"]["kernel"]),
+        "proj_b": h_params["c_proj"].get("bias", zeros(e)),
+        "ln2_w": h_params["ln_2"]["weight"],
+        "ln2_b": h_params["ln_2"].get("bias", zeros(e)),
+        "fc_w": w(h_params["c_fc"]["kernel"]),
+        "fc_b": h_params["c_fc"].get("bias", zeros(4 * e)),
+        "fc2_w": w(h_params["mlp_c_proj"]["kernel"]),
+        "fc2_b": h_params["mlp_c_proj"].get("bias", zeros(e)),
+    }
+
+
+def quantize_decode_weights(params, dtype=jnp.bfloat16) -> dict:
+    """w8a16 serving mode: quantize the block-stack matmul weights to int8
+    with per-(layer, out-lane) scales (fused_decode.quantize_weights). Call
+    ONCE per decode dispatch — outside the token scan — and hand the result
+    to ``decode_step(..., qweights=...)``. Accepts GPT or Franky param
+    trees. Only the fused TPU decode path consumes it."""
+    p = params.get("params", params)
+    if "llm_model" in p:
+        p = p["llm_model"]
+    return fused_decode.quantize_weights(_stack_decode_weights(p["h"], dtype))
+
+
 def _dense(feats, use_bias, dtype, name, kernel_init=None):
     return nn.Dense(feats, use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32,
                     kernel_init=kernel_init or nn.initializers.normal(0.02),
@@ -204,13 +240,14 @@ class GPT(nn.Module):
         logits = self._lm_head(x)[:, 0]
         return logits, cache, jnp.int32(x_len(idx, prefix))
 
-    def _decode_blocks(self, x, cache, length):
+    def _decode_blocks(self, x, cache, length, qweights=None):
         """Run all blocks for ONE position. x: [B, 1, E] -> (x, cache).
 
         Dispatch: fused Pallas program (TPU, supported geometries) for both
         float and ``QuantCache`` caches; otherwise the scanned XLA path —
         a QuantCache dequantizes around it (old rows round-trip exactly,
-        see fused_decode.quantize_with_scales)."""
+        see fused_decode.quantize_with_scales). ``qweights`` (int8 block
+        weights from ``quantize_decode_weights``) require the fused path."""
         c = self.cfg
         k_cache = cache[0]
         quant = isinstance(cache, QuantCache)
@@ -219,8 +256,13 @@ class GPT(nn.Module):
                                   jnp.dtype(k_cache.dtype).itemsize):
             xo, cache = _fused_blocks(
                 c, self.variables["params"]["h"], x[:, 0], cache, length,
-                compute_dtype=self.dtype if quant else None)
+                compute_dtype=self.dtype if quant else None,
+                stacked=qweights)
             return xo[:, None], cache
+        if qweights is not None:
+            raise NotImplementedError(
+                "int8 decode weights require the fused TPU decode path "
+                "(ops/pallas/fused_decode.py); drop qweights off-TPU")
         if quant:
             deq = (fused_decode.dequantize_cache_side(cache.k, cache.k_scale,
                                                       self.dtype),
@@ -233,18 +275,19 @@ class GPT(nn.Module):
                 cache.k_scale, cache.v_scale)
         return self._run_blocks(x, cache, length)
 
-    def decode_step(self, token, cache, length):
+    def decode_step(self, token, cache, length, qweights=None):
         """One decode step. token: [B] int32 at absolute position ``length``.
 
         Returns (logits [B, vocab], cache, length+1). On TPU, supported
         geometries run all blocks in ONE fused Pallas program
         (ops/pallas/fused_decode.py) — the scanned per-layer path is ~6x off
         its HBM roofline at batch 128. ``cache`` may be a ``QuantCache``
-        (int8 KV, built by ``quantize_cache`` after prefill)."""
+        (int8 KV, built by ``quantize_cache`` after prefill); ``qweights``
+        an int8 block-weight dict (``quantize_decode_weights``, w8a16)."""
         tok_emb = jnp.take(self.wte, token[:, None], axis=0).astype(self.dtype)
         pos_emb = jax.lax.dynamic_slice_in_dim(self.wpe, length, 1).astype(self.dtype)
         x = tok_emb + pos_emb[None]
-        x, cache = self._decode_blocks(x, cache, length)
+        x, cache = self._decode_blocks(x, cache, length, qweights)
         x = self.ln_f(x)
         logits = self._lm_head(x)[:, 0]
         return logits, cache, length + 1
@@ -305,7 +348,7 @@ class GPT(nn.Module):
 
 
 def _fused_blocks(cfg: GPTConfig, h_params, x, cache, length,
-                  interpret: bool = False, compute_dtype=None):
+                  interpret: bool = False, compute_dtype=None, stacked=None):
     """Run all blocks for one token via the fused kernel.
 
     x: [B, E]; cache: ([L, B, S, E], ...) or QuantCache; returns
@@ -313,30 +356,16 @@ def _fused_blocks(cfg: GPTConfig, h_params, x, cache, length,
     (one in-place ``dynamic_update_slice`` per cache — inside a scan carry
     the buffer is donated, so no copy; QuantCache rows quantize with the
     cache's fixed scales first). ``h_params`` is the stacked-[L] param dict
-    that ``nn.scan`` stores for the block stack."""
+    that ``nn.scan`` stores for the block stack; ``stacked`` overrides it
+    with a prebuilt kernel-weight dict (e.g. int8 w8a16 weights from
+    ``quantize_decode_weights``)."""
     quant = isinstance(cache, QuantCache)
     k_cache, v_cache = cache[0], cache[1]
     nl, b, s, e = k_cache.shape
     cdt = compute_dtype if compute_dtype is not None else (
         jnp.bfloat16 if quant else k_cache.dtype)
-    zeros = lambda d: jnp.zeros((nl, d), cdt)
-    # matmul kernels in the compute dtype (MXU bf16 path); LN
-    # weights/biases pass through — the kernel lifts them to f32 itself
-    w = lambda a: a.astype(cdt)
-    stacked = {
-        "ln1_w": h_params["ln_1"]["weight"],
-        "ln1_b": h_params["ln_1"].get("bias", zeros(e)),
-        "qkv_w": w(h_params["c_attn"]["kernel"]),
-        "qkv_b": h_params["c_attn"].get("bias", zeros(3 * e)),
-        "proj_w": w(h_params["c_proj"]["kernel"]),
-        "proj_b": h_params["c_proj"].get("bias", zeros(e)),
-        "ln2_w": h_params["ln_2"]["weight"],
-        "ln2_b": h_params["ln_2"].get("bias", zeros(e)),
-        "fc_w": w(h_params["c_fc"]["kernel"]),
-        "fc_b": h_params["c_fc"].get("bias", zeros(4 * e)),
-        "fc2_w": w(h_params["mlp_c_proj"]["kernel"]),
-        "fc2_b": h_params["mlp_c_proj"].get("bias", zeros(e)),
-    }
+    if stacked is None:
+        stacked = _stack_decode_weights(h_params, cdt)
     x, k_new, v_new = fused_decode.fused_decode_blocks(
         x, stacked, k_cache, v_cache, length,
         cache.k_scale if quant else None, cache.v_scale if quant else None,

@@ -72,7 +72,8 @@ def _gelu_exact(x):
 
 def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
             ln2w, ln2b, wfc, bfc, wfc2, bfc2, kc_ref, vc_ref,
-            ks_ref, vs_ref, xout_ref, knew_ref, vnew_ref, x_scr,
+            ks_ref, vs_ref, sqkv, sproj, sfc, sfc2,
+            xout_ref, knew_ref, vnew_ref, x_scr,
             *, n_layer: int, n_head: int, head_dim: int, seq: int, bc: int):
     l = pl.program_id(0)
     bi = pl.program_id(1)
@@ -92,9 +93,15 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     # ---- attention sublayer ------------------------------------------------
     h = _layer_norm_f32(x, ln1w[0].astype(jnp.float32),
                         ln1b[0].astype(jnp.float32))
-    qkv = jax.lax.dot_general(h.astype(cdt), wqkv[0], (((1,), (0,)), ((), ())),
+    # Weight matrices may arrive int8 (w8a16 serving mode): convert
+    # in-register for the bf16 MXU dot, then apply the per-(layer, out-lane)
+    # dequant scale to the f32 dot output — exact for symmetric per-channel
+    # quantization (y_j = s_j * sum_i x_i w8_ij). For float weights the
+    # scales are ones and the converts are no-ops.
+    qkv = jax.lax.dot_general(h.astype(cdt), wqkv[0].astype(cdt),
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv[0].astype(jnp.float32)
+    qkv = qkv * sqkv[0, 0] + bqkv[0].astype(jnp.float32)
     e = n_head * head_dim
     q, k_new, v_new = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
     knew_ref[0] = k_new.astype(knew_ref.dtype)
@@ -150,19 +157,22 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     o = o + own_wide * v_new
-    y = jax.lax.dot_general(o.astype(cdt), wproj[0], (((1,), (0,)), ((), ())),
+    y = jax.lax.dot_general(o.astype(cdt), wproj[0].astype(cdt),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    x = x + y + bproj[0].astype(jnp.float32)
+    x = x + y * sproj[0, 0] + bproj[0].astype(jnp.float32)
 
     # ---- MLP sublayer ------------------------------------------------------
     h2 = _layer_norm_f32(x, ln2w[0].astype(jnp.float32),
                          ln2b[0].astype(jnp.float32))
-    hh = jax.lax.dot_general(h2.astype(cdt), wfc[0], (((1,), (0,)), ((), ())),
+    hh = jax.lax.dot_general(h2.astype(cdt), wfc[0].astype(cdt),
+                             (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    hh = _gelu_exact(hh + bfc[0].astype(jnp.float32))
-    y2 = jax.lax.dot_general(hh.astype(cdt), wfc2[0], (((1,), (0,)), ((), ())),
+    hh = _gelu_exact(hh * sfc[0, 0] + bfc[0].astype(jnp.float32))
+    y2 = jax.lax.dot_general(hh.astype(cdt), wfc2[0].astype(cdt),
+                             (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    x = x + y2 + bfc2[0].astype(jnp.float32)
+    x = x + y2 * sfc2[0, 0] + bfc2[0].astype(jnp.float32)
 
     x_scr[rows] = x
 
@@ -248,6 +258,29 @@ def dequantize_cache_side(codes, scales, dtype):
     return (codes.astype(jnp.float32) * scales[:, :, None, :]).astype(dtype)
 
 
+WEIGHT_KEYS = ("qkv_w", "proj_w", "fc_w", "fc2_w")
+
+
+def quantize_weights(stacked):
+    """w8a16 serving mode: int8 matrices + per-(layer, out-lane) scales.
+
+    Symmetric per-output-channel quantization — the dequant scale applies
+    EXACTLY after the dot (y_j = s_j * sum_i x_i w8_ij), so the kernel's MXU
+    dot runs on converted int8 codes and the only approximation is the
+    0.4%-granular rounding of the weights themselves. Returns a copy of
+    ``stacked`` with each ``*_w`` [L, in, out] replaced by int8 codes and a
+    matching ``*_s`` [L, 1, out] f32 added. Quantize ONCE per decode
+    dispatch (outside the token scan)."""
+    out = dict(stacked)
+    for key in WEIGHT_KEYS:
+        w = stacked[key].astype(jnp.float32)                  # [L, in, out]
+        absmax = jnp.max(jnp.abs(w), axis=1)                  # [L, out]
+        s = (jnp.maximum(absmax, 1e-8) / 127.0)[:, None, :]   # [L, 1, out]
+        out[key] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        out[key[:-1] + "s"] = s
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("n_layer", "n_head", "head_dim",
                                              "interpret"))
 def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
@@ -275,11 +308,21 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
 
     b, e = x.shape
     s = k_cache.shape[2]
-    cdt = stacked["qkv_w"].dtype                  # compute dtype
+    w8 = stacked["qkv_w"].dtype == jnp.int8       # w8a16 weights
+    if w8:
+        # compute dtype: the float cache's dtype (the returned k_new/v_new
+        # rows scatter straight into it); bf16 when the cache is int8 too
+        cdt = k_cache.dtype if k_cache.dtype != jnp.int8 else jnp.bfloat16
+    else:
+        cdt = stacked["qkv_w"].dtype              # compute dtype
     if k_scale is None:
         k_scale = jnp.ones((n_layer, 1, e), jnp.float32)
     if v_scale is None:
         v_scale = jnp.ones((n_layer, 1, e), jnp.float32)
+    ones = lambda d: jnp.ones((n_layer, 1, d), jnp.float32)
+    w_scales = ((stacked["qkv_s"], stacked["proj_s"],
+                 stacked["fc_s"], stacked["fc2_s"]) if w8 else
+                (ones(3 * e), ones(e), ones(4 * e), ones(e)))
     v3 = lambda a: a[:, None, :]                  # [L, D] -> [L, 1, D]
     bc = _pick_batch_chunk(b, s, e, n_head, head_dim,
                            jnp.dtype(k_cache.dtype).itemsize)
@@ -302,6 +345,7 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
         pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
         pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
         vec(e), vec(e),                                               # ks, vs
+        vec(3 * e), vec(e), vec(4 * e), vec(e),     # weight dequant scales
     ]
     out_specs = [
         pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
@@ -335,5 +379,5 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
       v3(p["ln1_w"]), v3(p["ln1_b"]), p["qkv_w"], v3(p["qkv_b"]),
       p["proj_w"], v3(p["proj_b"]), v3(p["ln2_w"]), v3(p["ln2_b"]),
       p["fc_w"], v3(p["fc_b"]), p["fc2_w"], v3(p["fc2_b"]),
-      k_cache, v_cache, k_scale, v_scale)
+      k_cache, v_cache, k_scale, v_scale, *w_scales)
     return xo, k_new, v_new

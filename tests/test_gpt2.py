@@ -321,3 +321,59 @@ def test_generate_int8_kv_close_to_float():
                               max_new_tokens=6, greedy=True, int8_kv=True)
     agree = float(np.mean(np.asarray(out_f) == np.asarray(out_q)))
     assert agree >= 0.75, agree   # random-init logits have thin margins
+
+
+def test_fused_decode_int8_weights_match_dequantized():
+    """w8a16 mechanism: the in-kernel weight dequant (scale applied to the
+    f32 dot output) must equal the float kernel run on the dequantized
+    weights — exact in f32 interpret mode. Then end-to-end logit drift from
+    the rounding itself stays small."""
+    cfg = _fused_geometry_cfg(True)
+    from frankenstein_tpu.ops.pallas import fused_decode
+    model = gpt2.GPT(cfg)
+    rng = np.random.default_rng(7)
+    b, t0, s = 8, 4, 16
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t0)), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+    p = params["params"]
+
+    cache = gpt2.init_cache(cfg, b, s)
+    logits_ref, cache, length = model.apply(params, idx0, None, cache,
+                                            method=gpt2.GPT.prefill)
+
+    qw = gpt2.quantize_decode_weights(params, jnp.float32)
+    deq = dict(qw)
+    for key in fused_decode.WEIGHT_KEYS:
+        deq[key] = (qw[key].astype(jnp.float32)
+                    * qw[key[:-1] + "s"]).astype(jnp.float32)
+        del deq[key[:-1] + "s"]
+
+    tok = jnp.argmax(logits_ref, axis=-1).astype(jnp.int32)
+    x = p["wte"][tok] + jax.lax.dynamic_slice_in_dim(p["wpe"], length, 1)[0]
+    x_q, _ = gpt2._fused_blocks(cfg, p["h"], x, cache, length,
+                                interpret=True, compute_dtype=jnp.float32,
+                                stacked=qw)
+    x_d, _ = gpt2._fused_blocks(cfg, p["h"], x, cache, length,
+                                interpret=True, compute_dtype=jnp.float32,
+                                stacked=deq)
+    np.testing.assert_allclose(np.asarray(x_q), np.asarray(x_d),
+                               atol=1e-4, rtol=1e-4)
+
+    # drift vs the unquantized weights bounded (per-channel int8 rounding)
+    x_f, _ = gpt2._fused_blocks(cfg, p["h"], x, cache, length,
+                                interpret=True, compute_dtype=jnp.float32)
+    scale = float(np.max(np.abs(np.asarray(x_f)))) + 1e-6
+    drift = float(np.max(np.abs(np.asarray(x_q) - np.asarray(x_f)))) / scale
+    assert drift < 0.05, drift
+
+
+def test_int8_weights_require_fused_path():
+    cfg = _fused_geometry_cfg(True)
+    model = gpt2.GPT(cfg)
+    idx0 = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+    qw = gpt2.quantize_decode_weights(params)
+    cache = gpt2.init_cache(cfg, 2, 8)       # b=2 unsupported by the kernel
+    with pytest.raises(NotImplementedError):
+        model.apply(params, jnp.zeros((2,), jnp.int32), cache, jnp.int32(4),
+                    qw, method=gpt2.GPT.decode_step)
