@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--hf-gpt2", default=None,
                     help="local HF GPT-2 checkpoint dir (offline)")
+    ap.add_argument("--reference-ckpt", default=None,
+                    help="torch Franky checkpoint (.safetensors/.pt) from the "
+                         "reference stack, e.g. step_5000_loss_3.1739."
+                         "safetensors — imported via models/import_reference")
     ap.add_argument("--save-folder", default="logs")
     ap.add_argument("--eval-wer", action="store_true")
     args = ap.parse_args()
@@ -43,10 +47,11 @@ def main():
 
     # reference cell 5: MAEConfig(window_size=768, patch_size=32),
     # n_output_tokens=32, output_dim = gpt n_embd
+    hf_vocab = args.hf_gpt2 or args.reference_ckpt
     cfg = FrankyConfig(
         brain=PerceiverConfig(encoder=MAEConfig(window_size=768, patch_size=32),
                               n_output_tokens=32, output_dim=768),
-        gpt=GPTConfig(vocab_size=50257 if args.hf_gpt2 else 50304))
+        gpt=GPTConfig(vocab_size=50257 if hf_vocab else 50304))
     model = Franky(cfg, dtype=jnp.bfloat16)
     spec = trainer.TrainableSpec(module=model)
 
@@ -67,6 +72,12 @@ def main():
     sample = next(iter(datasets.batch_iterator(train_ds, 8, shuffle=False,
                                                epochs=1)))
     state, _ = trainer.init_state(spec, tcfg, sample)
+    if args.reference_ckpt:
+        from frankenstein_tpu.models import import_reference as ir
+        sd = ir.load_state_dict(args.reference_ckpt)
+        imported = ir.franky_params(sd)
+        state = state.replace(params=imported["params"])
+        print(f"loaded reference Franky checkpoint: {args.reference_ckpt}")
     if args.hf_gpt2:
         from transformers import GPT2LMHeadModel
         from frankenstein_tpu.models.gpt2_import import params_from_hf_model
