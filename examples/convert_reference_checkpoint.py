@@ -14,7 +14,7 @@ flax.serialization) so they can be decoded / fine-tuned here:
     python examples/convert_reference_checkpoint.py \
         --kind franky --reverse --src franky.msgpack --dst franky.safetensors
 
-Kinds: encoder | mae | brain_encoder | gpt | franky | soundstream
+Kinds: encoder | mae | brain_encoder | gpt | franky | simple_mae | soundstream
 (see models/import_reference.py for the exact name maps).
 """
 
@@ -37,6 +37,7 @@ IMPORTERS = {
     "brain_encoder": ir.brain_encoder_params,
     "gpt": lambda sd, **kw: ir.gpt_params(sd),
     "franky": ir.franky_params,
+    "simple_mae": lambda sd, **kw: ir.simple_mae_params(sd),
     "soundstream": lambda sd, **kw: ir.soundstream_params(sd),
 }
 
@@ -46,6 +47,7 @@ EXPORTERS = {
     "brain_encoder": ir.export_brain_encoder,
     "gpt": ir.export_gpt,
     "franky": ir.export_franky,
+    "simple_mae": ir.export_simple_mae,
     "soundstream": ir.export_soundstream,
 }
 

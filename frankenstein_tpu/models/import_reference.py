@@ -245,6 +245,52 @@ def brain_encoder_params(sd: StateDict, *, n_sessions: int = 0,
     return {"params": p}
 
 
+def simple_mae_params(sd: StateDict) -> dict:
+    """Reference ``SimpleMAE`` (models/simple_mae:240-360: time-patch MAE,
+    RMSNorm blocks, no space embedding, real decoder ``emb`` bridge) ->
+    flax params for models.simple_mae.SimpleMAE."""
+    v = _View(sd)
+    enc = {
+        "emb": v.linear("encoder.transformer.emb"),
+        "ln_f": v.norm("encoder.transformer.ln_f"),
+    }
+    n = _n_layers(v, "encoder.transformer.h.{}.ln_1.weight")
+    if n == 0:
+        raise ValueError("no SimpleEncoder blocks under 'encoder.transformer.h.'")
+    for i in range(n):
+        enc[f"h_{i}"] = _block(v.sub(f"encoder.transformer.h.{i}."))
+    p = {
+        "encoder": enc,
+        "dec_emb": v.linear("decoder.emb"),
+        "mask_token": v.take("mask_token"),
+        "decoder_pos_emb": {"embedding": v.take("decoder_pos_emb.weight")},
+        "to_signals": v.linear("to_signals"),
+    }
+    for i in range(_n_layers(v, "decoder.h.{}.ln_1.weight")):
+        p[f"dec_h_{i}"] = _block(v.sub(f"decoder.h.{i}."))
+    return {"params": p}
+
+
+def export_simple_mae(params: dict) -> dict:
+    p = params["params"]
+    out: dict = {}
+    _export_linear(out, "encoder.transformer.emb", p["encoder"]["emb"])
+    i = 0
+    while f"h_{i}" in p["encoder"]:
+        _export_block(out, f"encoder.transformer.h.{i}.", p["encoder"][f"h_{i}"])
+        i += 1
+    _export_norm(out, "encoder.transformer.ln_f", p["encoder"]["ln_f"])
+    _export_linear(out, "decoder.emb", p["dec_emb"])
+    i = 0
+    while f"dec_h_{i}" in p:
+        _export_block(out, f"decoder.h.{i}.", p[f"dec_h_{i}"])
+        i += 1
+    out["mask_token"] = _np(p["mask_token"])
+    out["decoder_pos_emb.weight"] = _np(p["decoder_pos_emb"]["embedding"])
+    _export_linear(out, "to_signals", p["to_signals"])
+    return out
+
+
 def gpt_params(sd: StateDict, *, prefix: str = "") -> dict:
     """Reference GPT (nanoGPT fork, torch-Linear layout) state dict -> flax
     params for models.gpt2.GPT (scan-stacked layer axis).

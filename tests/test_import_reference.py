@@ -423,3 +423,19 @@ def test_soundstream_accepts_3d_codebook():
     variables = ir.soundstream_params(sd)
     assert variables["vq"]["quantizer"]["codebook"].shape == (
         VCFG.codebook_size, VCFG.D)
+
+
+def test_simple_mae_roundtrip():
+    from frankenstein_tpu.config import SimpleEncoderConfig, SimpleMAEConfig
+    from frankenstein_tpu.models.simple_mae import SimpleMAE
+
+    ec = SimpleEncoderConfig(block_size=6, patch_size=16, dim=32, n_layers=2,
+                             head_dim=8, hidden_dim=64, n_heads=4, n_kv_heads=4)
+    dc = SimpleMAEConfig(dim=32, n_layers=1, head_dim=8, hidden_dim=64,
+                         n_heads=4, n_kv_heads=4)
+    model = SimpleMAE(ec, dc)
+    x = jax.random.normal(jax.random.key(0), (2, ec.block_size, ec.patch_size))
+    params = model.init({"params": jax.random.key(1),
+                         "mask": jax.random.key(2)}, x)
+    sd = ir.export_simple_mae(params)
+    _assert_trees_equal(ir.simple_mae_params(sd), params)
