@@ -198,7 +198,7 @@ def _sample_scan_topk(module, params, logits, cache, length, rng, *,
 def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                 beam_width: int = 3, length_normalize: bool = False,
                 eos_id: Optional[int] = None, pad_id: Optional[int] = None,
-                length_penalty: float = 0.0):
+                length_penalty: float = 0.0, int8_kv: bool = False):
     """Deterministic batched beam search (the behavior of
     reference:gpt2_model.py:415-454, vectorized) with EOS handling the
     reference lacks: when ``eos_id`` is given, a beam that emits it is FROZEN
@@ -221,6 +221,8 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
         length_penalty = 1.0
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
+    if int8_kv:
+        cache = gpt2.quantize_cache(cache)
     return _beam_scan(module, params, logits, cache, length, b,
                       max_new_tokens=max_new_tokens, beam_width=w,
                       eos_id=eos_id,
@@ -309,7 +311,7 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                         topk: int = 20, temperature: float = 1.0,
                         eos_id: Optional[int] = None,
                         pad_id: Optional[int] = None,
-                        length_penalty: float = 0.0):
+                        length_penalty: float = 0.0, int8_kv: bool = False):
     """Stochastic beam search: each beam samples ``beam_width`` candidates
     from its top-k distribution, the global best W survive — the behavior of
     reference:gpt2_model.py:355-412, vectorized and cached. EOS handling as
@@ -324,6 +326,8 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
         + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
+    if int8_kv:
+        cache = gpt2.quantize_cache(cache)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
                               max_new_tokens=max_new_tokens, beam_width=w,
                               topk=topk, temperature=temperature,

@@ -280,3 +280,25 @@ def test_sampled_beam_eos_freezes(tiny_gpt):
         stop = np.flatnonzero(row == eos)
         if len(stop):
             assert (row[stop[0] + 1:] == pad).all()
+
+
+def test_beam_search_int8_kv_close_to_float():
+    """int8_kv beams: QuantCache reorders per step; tokens should mostly
+    agree with the float-cache beams on a random model."""
+    import numpy as np
+    from frankenstein_tpu.config import GPTConfig
+    from frankenstein_tpu.models import gpt2 as gpt2_mod
+
+    cfg = GPTConfig(block_size=32, vocab_size=96, n_layer=2, n_head=2,
+                    n_embd=32, dropout=0.0, bias=True)
+    model = gpt2_mod.GPT(cfg)
+    rng = np.random.default_rng(9)
+    idx0 = jnp.asarray(rng.integers(0, 96, (3, 4)), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+    toks_f, _ = sampling.beam_search(model, params, idx0, None,
+                                     max_new_tokens=5, beam_width=3)
+    toks_q, _ = sampling.beam_search(model, params, idx0, None,
+                                     max_new_tokens=5, beam_width=3,
+                                     int8_kv=True)
+    agree = float(np.mean(np.asarray(toks_f) == np.asarray(toks_q)))
+    assert agree >= 0.6, agree
