@@ -64,12 +64,20 @@ def main() -> None:
     ap.add_argument("--n-sessions", type=int, default=0,
                     help="zero-init a date_embedding for this many sessions "
                          "(our extension; reference checkpoints have none)")
+    ap.add_argument("--head", default="to_words",
+                    choices=["to_words", "to_motion"],
+                    help="output-head name for --reverse brain_encoder "
+                         "export (to_words = Franky notebook variant, "
+                         "to_motion = models/brainformer.py BrainFormer)")
     args = ap.parse_args()
 
     if args.reverse:
         with open(args.src, "rb") as f:
             params = flax.serialization.msgpack_restore(f.read())
-        sd = EXPORTERS[args.kind](params)
+        if args.kind == "brain_encoder":
+            sd = ir.export_brain_encoder(params, head=args.head)
+        else:
+            sd = EXPORTERS[args.kind](params)
         ir.save_state_dict(sd, args.dst)
     else:
         sd = ir.load_state_dict(args.src)

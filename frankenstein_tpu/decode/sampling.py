@@ -41,6 +41,13 @@ NEG_INF = -1e30
 COMPACT_TOPK = False
 
 
+# one dispatch each — eager quantization is ~30 small jnp ops, and this
+# harness's remote tunnel charges a fixed ~33 ms per dispatch
+_quantize_cache_jit = jax.jit(lambda cache: gpt2.quantize_cache(cache))
+_quantize_weights_jit = jax.jit(gpt2.quantize_decode_weights,
+                                static_argnums=(1,))
+
+
 def _round_cache_len(n: int, mult: int = 16) -> int:
     """Round the KV-cache length up to a TPU-tileable multiple — padding rows
     are masked out anyway, and the fused decode kernel
@@ -113,8 +120,8 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
         + max_new_tokens + 1)
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
     if int8_kv:
-        cache = gpt2.quantize_cache(cache)
-    qweights = (gpt2.quantize_decode_weights(
+        cache = _quantize_cache_jit(cache)
+    qweights = (_quantize_weights_jit(
         params, getattr(module, "dtype", jnp.bfloat16))
         if int8_weights else None)
     return _sample_scan(module, params, logits, cache, length, rng,
@@ -131,7 +138,10 @@ def _sample_scan(module, params, logits, cache, length, rng, *,
     # Compact-logits path: when the module can return just the top-k
     # (GPT.decode_step_topk — on TPU one fused ln_f+lm_head+top-k Pallas
     # program), the [B, vocab] logits tensor never exists in the scan.
-    if (COMPACT_TOPK and top_k is not None and top_k < logits.shape[-1]
+    # decode_step_topk has no qweights contract — w8a16 requests must not be
+    # silently dropped, so they take the dense route below.
+    if (COMPACT_TOPK and qweights is None and top_k is not None
+            and top_k < logits.shape[-1]
             and not greedy and hasattr(type(module), "decode_step_topk")):
         return _sample_scan_topk(module, params, logits, cache, length, rng,
                                  max_new_tokens=max_new_tokens,
@@ -222,7 +232,7 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
     if int8_kv:
-        cache = gpt2.quantize_cache(cache)
+        cache = _quantize_cache_jit(cache)
     return _beam_scan(module, params, logits, cache, length, b,
                       max_new_tokens=max_new_tokens, beam_width=w,
                       eos_id=eos_id,
@@ -327,7 +337,7 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
     logits, cache, length = _prefill_args(module, params, rep(idx0),
                                           rep(prefix), max_len)
     if int8_kv:
-        cache = gpt2.quantize_cache(cache)
+        cache = _quantize_cache_jit(cache)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
                               max_new_tokens=max_new_tokens, beam_width=w,
                               topk=topk, temperature=temperature,

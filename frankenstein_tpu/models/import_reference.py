@@ -224,13 +224,7 @@ def mae_params(sd: StateDict, *, n_sessions: int = 0) -> dict:
     return {"params": p}
 
 
-def brain_encoder_params(sd: StateDict, *, n_sessions: int = 0,
-                         prefix: str = "") -> dict:
-    """Reference ``BrainFormer``/``BrainEncoder`` state dict -> flax params
-    for models.brainformer.BrainEncoder. The output head is ``to_words`` in
-    the Franky notebook variant and ``to_motion`` in models/brainformer.py —
-    both land on our ``to_out``."""
-    v = _View(sd, prefix)
+def _brain_encoder(v: _View, n_sessions: int = 0) -> dict:
     head = "perceiver.to_words" if "perceiver.to_words.weight" in v \
         else "perceiver.to_motion"
     p = {
@@ -242,7 +236,17 @@ def brain_encoder_params(sd: StateDict, *, n_sessions: int = 0,
     n = _n_layers(v, "perceiver.h.{}.ln_1.weight")
     for i in range(n):
         p[f"cross_{i}"] = _cross_block(v.sub(f"perceiver.h.{i}."))
-    return {"params": p}
+    return p
+
+
+def brain_encoder_params(sd: StateDict, *, n_sessions: int = 0,
+                         prefix: str = "") -> dict:
+    """Reference ``BrainFormer``/``BrainEncoder`` state dict -> flax params
+    for models.brainformer.BrainEncoder. The output head is ``to_words`` in
+    the Franky notebook variant and ``to_motion`` in models/brainformer.py —
+    both land on our ``to_out``."""
+    return {"params": _brain_encoder(_View(sd, prefix),
+                                     n_sessions=n_sessions)}
 
 
 def simple_mae_params(sd: StateDict) -> dict:
@@ -299,7 +303,10 @@ def gpt_params(sd: StateDict, *, prefix: str = "") -> dict:
     here is [out, in] and is transposed — including the square c_proj ones a
     shape heuristic cannot catch (reference:gpt2_model.py:268-277 documents
     the layout difference from HF)."""
-    v = _View(sd, prefix)
+    return {"params": _gpt(_View(sd, prefix))}
+
+
+def _gpt(v: _View) -> dict:
     p = {
         "wte": v.take("transformer.wte.weight"),
         "wpe": v.take("transformer.wpe.weight"),
@@ -322,24 +329,24 @@ def gpt_params(sd: StateDict, *, prefix: str = "") -> dict:
             "mlp_c_proj": b.linear("mlp.c_proj"),
         })
     p["h"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *layers)
-    return {"params": p}
+    return p
 
 
 def franky_params(sd: StateDict, *, n_sessions: int = 0,
                   strict: bool = True) -> dict:
     """Reference ``Franky`` (brain_model + llm_model,
     notebooks_trainer/franky_baseline_gpt2.ipynb cell 4) -> flax params for
-    models.franky.Franky. ``strict`` errors on unmapped tensors."""
+    models.franky.Franky. ``strict`` errors on any tensor the name maps did
+    not consume (extra per-layer tensors, misnamed keys) — a partially
+    mapped import must fail loudly, not yield a silently wrong model."""
     v = _View(sd)
     p = {
-        "brain_model": brain_encoder_params(
-            sd, n_sessions=n_sessions, prefix="brain_model.")["params"],
-        "llm_model": gpt_params(sd, prefix="llm_model.")["params"],
+        "brain_model": _brain_encoder(v.sub("brain_model."),
+                                      n_sessions=n_sessions),
+        "llm_model": _gpt(v.sub("llm_model.")),
     }
     if strict:
-        leftovers = [k for k in sd
-                     if not (k.startswith("brain_model.")
-                             or k.startswith("llm_model."))]
+        leftovers = v.unused()
         if leftovers:
             raise ValueError(f"unmapped Franky tensors: {leftovers[:8]}")
     return {"params": p}

@@ -71,10 +71,20 @@ def _gelu_exact(x):
 
 
 def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
-            ln2w, ln2b, wfc, bfc, wfc2, bfc2, kc_ref, vc_ref,
-            ks_ref, vs_ref, sqkv, sproj, sfc, sfc2,
-            xout_ref, knew_ref, vnew_ref, x_scr,
-            *, n_layer: int, n_head: int, head_dim: int, seq: int, bc: int):
+            ln2w, ln2b, wfc, bfc, wfc2, bfc2, kc_ref, vc_ref, *rest,
+            n_layer: int, n_head: int, head_dim: int, seq: int, bc: int,
+            quant_cache: bool, quant_w: bool):
+    # Optional dequant-scale inputs appear ONLY in the quantized modes —
+    # the float path keeps its original op and DMA count (Mosaic cannot
+    # constant-fold runtime ones-arrays, so they must not be passed at all).
+    i = 0
+    if quant_cache:
+        ks_ref, vs_ref = rest[i], rest[i + 1]
+        i += 2
+    if quant_w:
+        sqkv, sproj, sfc, sfc2 = rest[i:i + 4]
+        i += 4
+    xout_ref, knew_ref, vnew_ref, x_scr = rest[i:i + 4]
     l = pl.program_id(0)
     bi = pl.program_id(1)
     scale = 1.0 / np.sqrt(head_dim)
@@ -86,8 +96,7 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
 
     x = x_scr[rows]                                   # [BC, E] f32
     # compute dtype (bf16 on TPU) — the CACHE dtype may differ (int8 KV
-    # cache: rows dequantize in-register via the per-(layer, lane) scales
-    # ks/vs; for float caches the scales are ones and fold away for free)
+    # cache: rows dequantize in-register via the per-(layer, lane) scales)
     cdt = knew_ref.dtype
 
     # ---- attention sublayer ------------------------------------------------
@@ -97,11 +106,14 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     # in-register for the bf16 MXU dot, then apply the per-(layer, out-lane)
     # dequant scale to the f32 dot output — exact for symmetric per-channel
     # quantization (y_j = s_j * sum_i x_i w8_ij). For float weights the
-    # scales are ones and the converts are no-ops.
+    # .astype is a no-op and the scale multiplies are compiled out entirely
+    # (quant_w is a static flag; scale operands are never even passed).
     qkv = jax.lax.dot_general(h.astype(cdt), wqkv[0].astype(cdt),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    qkv = qkv * sqkv[0, 0] + bqkv[0].astype(jnp.float32)
+    if quant_w:
+        qkv = qkv * sqkv[0, 0]
+    qkv = qkv + bqkv[0].astype(jnp.float32)
     e = n_head * head_dim
     q, k_new, v_new = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
     knew_ref[0] = k_new.astype(knew_ref.dtype)
@@ -127,7 +139,7 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     # dequant scale folds into q BEFORE the product (one [BC, E] f32
     # multiply instead of a [BC, S, E] sweep; exact in f32):
     #   s = sum_d q_d * (k8_d * ks_d) = sum_d (q_d * ks_d) * k8_d
-    q_k = q * ks_ref[0, 0]
+    q_k = q * ks_ref[0, 0] if quant_cache else q
     prod = q_k.astype(cdt)[:, None, :] * kc.astype(cdt)   # [BC, S, E]
     s = jax.lax.dot_general(prod.reshape(bc_ * seq, e_),
                             seg_sum.astype(cdt),
@@ -151,8 +163,9 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
                                  ).astype(cdt)
     o = jnp.sum((p_wide.reshape(bc_, seq, e_)
                  * vc.astype(cdt)).astype(jnp.float32), axis=1)  # [BC, E] f32
-    # v-cache dequant scale is constant over S — apply once to the sum
-    o = o * vs_ref[0, 0]
+    if quant_cache:
+        # v-cache dequant scale is constant over S — apply once to the sum
+        o = o * vs_ref[0, 0]
     own_wide = jax.lax.dot_general(p_own / denom, expand,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -160,7 +173,9 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     y = jax.lax.dot_general(o.astype(cdt), wproj[0].astype(cdt),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    x = x + y * sproj[0, 0] + bproj[0].astype(jnp.float32)
+    if quant_w:
+        y = y * sproj[0, 0]
+    x = x + y + bproj[0].astype(jnp.float32)
 
     # ---- MLP sublayer ------------------------------------------------------
     h2 = _layer_norm_f32(x, ln2w[0].astype(jnp.float32),
@@ -168,11 +183,15 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     hh = jax.lax.dot_general(h2.astype(cdt), wfc[0].astype(cdt),
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    hh = _gelu_exact(hh * sfc[0, 0] + bfc[0].astype(jnp.float32))
+    if quant_w:
+        hh = hh * sfc[0, 0]
+    hh = _gelu_exact(hh + bfc[0].astype(jnp.float32))
     y2 = jax.lax.dot_general(hh.astype(cdt), wfc2[0].astype(cdt),
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    x = x + y2 * sfc2[0, 0] + bfc2[0].astype(jnp.float32)
+    if quant_w:
+        y2 = y2 * sfc2[0, 0]
+    x = x + y2 + bfc2[0].astype(jnp.float32)
 
     x_scr[rows] = x
 
@@ -182,24 +201,30 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
 
 
 def _vmem_estimate(bc: int, s: int, e: int, n_head: int, hd: int, b: int,
-                   itemsize: int) -> int:
-    weights = (e * 3 * e + e * e + 2 * e * 4 * e + 8 * e) * itemsize
-    caches = 2 * bc * s * e * itemsize
-    # ~3 live [BC, S, E] cache-dtype temporaries (QK product, expanded probs,
-    # AV product) + one f32 (AV accumulate) + qkv/mlp activations — Mosaic's
-    # stack allocator does not aggressively reuse slots, so budget them all
-    stack = bc * s * e * (3 * itemsize + 4) + 12 * bc * e * 4
+                   cache_itemsize: int) -> int:
+    """``cache_itemsize`` sizes ONLY the streamed cache blocks (int8 KV
+    halves those); weights and the in-kernel temporaries are in the compute
+    dtype (bf16, 2 bytes) regardless — sizing them with the cache itemsize
+    would understate true VMEM ~40% for int8 caches and admit geometries
+    that then fail Mosaic compilation instead of falling back."""
+    compute = max(cache_itemsize, 2)
+    weights = (e * 3 * e + e * e + 2 * e * 4 * e + 8 * e) * compute
+    caches = 2 * bc * s * e * cache_itemsize
+    # ~3 live [BC, S, E] compute-dtype temporaries (QK product, expanded
+    # probs, AV product) + one f32 (AV accumulate) + qkv/mlp activations —
+    # Mosaic's stack allocator does not aggressively reuse slots
+    stack = bc * s * e * (3 * compute + 4) + 12 * bc * e * 4
     return 2 * (weights + caches) + stack + b * e * 4
 
 
 def _pick_batch_chunk(b: int, s: int, e: int, n_head: int, hd: int,
-                      itemsize: int) -> int:
+                      cache_itemsize: int) -> int:
     """Largest batch chunk (divides b) whose double-buffered blocks plus
     in-kernel temporaries fit the raised VMEM limit."""
     for bc in (128, 64, 32, 16, 8):
         if b % bc != 0:
             continue
-        if _vmem_estimate(bc, s, e, n_head, hd, b, itemsize) < (
+        if _vmem_estimate(bc, s, e, n_head, hd, b, cache_itemsize) < (
                 VMEM_LIMIT * _HEADROOM):
             return bc
     return 0
@@ -315,14 +340,14 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
         cdt = k_cache.dtype if k_cache.dtype != jnp.int8 else jnp.bfloat16
     else:
         cdt = stacked["qkv_w"].dtype              # compute dtype
-    if k_scale is None:
-        k_scale = jnp.ones((n_layer, 1, e), jnp.float32)
-    if v_scale is None:
-        v_scale = jnp.ones((n_layer, 1, e), jnp.float32)
-    ones = lambda d: jnp.ones((n_layer, 1, d), jnp.float32)
+    quant_cache = k_cache.dtype == jnp.int8
+    if quant_cache:
+        assert k_scale is not None and v_scale is not None
+        cache_scales = (k_scale, v_scale)
+    else:
+        cache_scales = ()
     w_scales = ((stacked["qkv_s"], stacked["proj_s"],
-                 stacked["fc_s"], stacked["fc2_s"]) if w8 else
-                (ones(3 * e), ones(e), ones(4 * e), ones(e)))
+                 stacked["fc_s"], stacked["fc2_s"]) if w8 else ())
     v3 = lambda a: a[:, None, :]                  # [L, D] -> [L, 1, D]
     bc = _pick_batch_chunk(b, s, e, n_head, head_dim,
                            jnp.dtype(k_cache.dtype).itemsize)
@@ -344,9 +369,11 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
         mat(4 * e, e), vec(e),                                        # fc2
         pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
         pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
-        vec(e), vec(e),                                               # ks, vs
-        vec(3 * e), vec(e), vec(4 * e), vec(e),     # weight dequant scales
     ]
+    if quant_cache:
+        in_specs += [vec(e), vec(e)]                                  # ks, vs
+    if w8:
+        in_specs += [vec(3 * e), vec(e), vec(4 * e), vec(e)]          # w scales
     out_specs = [
         pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
         pl.BlockSpec((1, bc, e), lambda l, bi, len_r: (l, bi, 0)),    # k_new
@@ -362,7 +389,8 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
     p = stacked
     xo, k_new, v_new = pl.pallas_call(
         functools.partial(_kernel, n_layer=n_layer, n_head=n_head,
-                          head_dim=head_dim, seq=s, bc=bc),
+                          head_dim=head_dim, seq=s, bc=bc,
+                          quant_cache=quant_cache, quant_w=w8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, e), x.dtype),
@@ -379,5 +407,5 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
       v3(p["ln1_w"]), v3(p["ln1_b"]), p["qkv_w"], v3(p["qkv_b"]),
       p["proj_w"], v3(p["proj_b"]), v3(p["ln2_w"]), v3(p["ln2_b"]),
       p["fc_w"], v3(p["fc_b"]), p["fc2_w"], v3(p["fc2_b"]),
-      k_cache, v_cache, k_scale, v_scale, *w_scales)
+      k_cache, v_cache, *cache_scales, *w_scales)
     return xo, k_new, v_new

@@ -439,3 +439,23 @@ def test_simple_mae_roundtrip():
                          "mask": jax.random.key(2)}, x)
     sd = ir.export_simple_mae(params)
     _assert_trees_equal(ir.simple_mae_params(sd), params)
+
+
+def test_franky_strict_catches_nested_unconsumed_tensor():
+    """The audit must flag tensors UNDER the known prefixes that no mapper
+    consumed (e.g. a misnamed weight), not just foreign top-level keys."""
+    cfg = FrankyConfig(
+        brain=PerceiverConfig(encoder=CFG, n_output_tokens=4, output_dim=16,
+                              dim=CFG.dim, n_layers=1, head_dim=8,
+                              hidden_dim=64, n_heads=4, n_kv_heads=4),
+        gpt=GPTConfig(block_size=32, vocab_size=64, n_layer=2, n_head=2,
+                      n_embd=16, bias=True))
+    model = Franky(cfg)
+    x = jnp.zeros((1, CFG.window_size, CFG.n_electrodes))
+    y = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.key(0), x, y)
+    sd = ir.export_franky(params)
+    sd["llm_model.transformer.h.0.attn.c_atn.weight"] = \
+        np.zeros((4, 4), np.float32)   # misnamed tensor inside a known prefix
+    with pytest.raises(ValueError, match="unmapped"):
+        ir.franky_params(sd)
