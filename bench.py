@@ -148,16 +148,18 @@ if __name__ == "__main__":
     import sys
     import traceback
 
-    for attempt in range(3):
+    # the remote-TPU tunnel drops compiles (HTTP 413 / broken pipe) and has
+    # OUTAGES measured in hours (backend-init UNAVAILABLE) — retry with
+    # growing waits rather than losing the round's run to a transient
+    waits = [60, 120, 300, 600, 600]
+    for attempt in range(len(waits) + 1):
         try:
             main()
             break
         except Exception:
-            # the remote-TPU tunnel occasionally drops a compile (HTTP 413 /
-            # broken pipe); wait and retry rather than losing the round's run
             traceback.print_exc()
-            if attempt == 2:
+            if attempt == len(waits):
                 sys.exit(1)
-            print(f"[bench] attempt {attempt + 1} failed; retrying in 60s",
-                  file=sys.stderr, flush=True)
-            time.sleep(60)
+            print(f"[bench] attempt {attempt + 1} failed; retrying in "
+                  f"{waits[attempt]}s", file=sys.stderr, flush=True)
+            time.sleep(waits[attempt])
