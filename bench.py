@@ -21,13 +21,30 @@ Methodology notes (this harness runs through an async remote-TPU tunnel):
 - timing brackets a VALUE FETCH (block_until_ready does not actually block
   under this tunnel).
 
-Prints ONE JSON line.
+Outage handling (the tunnel has had multi-hour outages — backend init hangs
+SILENTLY at 0% CPU, no exception): the measurement runs in a CHILD process
+under a hard watchdog; before each attempt the parent probes the tunnel with
+a tiny value fetch in its own short-timeout subprocess. Silent hangs become
+retries, not an rc=124 for the whole artifact.
+
+Prints ONE JSON line (last line of stdout).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# headline serving config (best measured config of the
+# {128, 256} x {bf16, int8_kv} sweep — see BASELINE.md round-3 table;
+# int8_kv quantization drift is property-tested at <5% of logit range)
+HEADLINE_BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+HEADLINE_INT8_KV = os.environ.get("BENCH_INT8_KV", "0") == "1"
+
+_PARAMS = [None]
 
 
 def _bench(fn, n_iters, key0=100, repeats=2):
@@ -44,7 +61,10 @@ def _bench(fn, n_iters, key0=100, repeats=2):
     operation that actually synchronizes here)."""
     import jax
     import jax.numpy as jnp
-    import sys
+
+    assert n_iters >= 2, (
+        "n_iters must be >= 2: per-iter time is the difference between an "
+        "n-trip and a 1-trip run divided by (n_iters - 1)")
 
     # params flow through as a REAL argument — a closure capture can be
     # embedded into the remote-compile payload (500MB -> HTTP 413)
@@ -70,26 +90,25 @@ def _bench(fn, n_iters, key0=100, repeats=2):
     return max(tn - t1, 1e-9) / (n_iters - 1)
 
 
-_PARAMS = [None]
-
-
-def main():
+def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
+         with_baseline: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as g
     from frankenstein_tpu.config import GPT2_EOT
     from frankenstein_tpu.decode import sampling
+    from frankenstein_tpu.decode.pipeline import cast_params_for_inference
+    from frankenstein_tpu.utils import profiling
 
     model, cfg = g._flagship()
-    batch = 128
     max_new = cfg.max_tokens  # 25
-    shape = (batch, cfg.brain.encoder.window_size, cfg.brain.encoder.n_electrodes)
+    shape = (batch, cfg.brain.encoder.window_size,
+             cfg.brain.encoder.n_electrodes)
 
     x1 = jnp.zeros((1,) + shape[1:], jnp.float32)
     y1 = jnp.zeros((1, max_new), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
-    from frankenstein_tpu.decode.pipeline import cast_params_for_inference
     params = cast_params_for_inference(params)   # decode-only benchmark
     _PARAMS[0] = params
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
@@ -104,62 +123,160 @@ def main():
     def decode_fn(params, key):
         prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
-                                 max_new_tokens=max_new, top_k=10)
+                                 max_new_tokens=max_new, top_k=10,
+                                 int8_kv=int8_kv)
 
     encode_s = _bench(encode_fn, 8)
     decode_s = _bench(decode_fn, 8)
     cached_s = encode_s + decode_s
     ours = batch / cached_s
 
-    # ---- reference scheme: full re-forward per token, no cache --------------
-    # Measured as ONE full-length LLM forward x max_new steps (fixed full
-    # length == the reference's final-step cost, a LOWER bound on its
-    # growing-length total, so the reported speedup is conservative). The
-    # literal 25-step re-forward scan exceeds this harness's remote-compile
-    # limits; per-step cost is what matters and is measured exactly.
-    def llm_full(m, idx, prefix, targets):
-        return m.llm_model(idx, prefix=prefix, targets=targets)
+    # roofline context: encode is MXU-bound (analytic matmul FLOPs vs chip
+    # peak), decode is HBM-bound (minimum bytes vs chip bandwidth)
+    encode_mfu = profiling.estimate_mfu(
+        batch * profiling.franky_encode_flops_per_sample(cfg), encode_s)
+    cache_len = sampling._round_cache_len(1 + 32 + max_new + 1)
+    decode_bytes = profiling.gpt_decode_hbm_bytes(
+        cfg.gpt, batch, cache_len, max_new,
+        cache_bytes=1 if int8_kv else 2)
+    decode_hbm_util = decode_bytes / decode_s / profiling.detect_hbm_bw()
 
-    def nocache_step(params, key):
-        prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
-        idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
-        _, logits = model.apply(params, idx, prefix,
-                                jnp.zeros_like(idx), method=llm_full)
-        return logits[:, -1]
-
-    nocache_s = encode_s + max_new * _bench(nocache_step, 8)
-    baseline = batch / nocache_s
-
-    print(json.dumps({
+    result = {
         "metric": "decode_throughput",
         "value": round(ours, 2),
         "unit": "sentences/sec/chip",
-        "vs_baseline": round(ours / baseline, 2),
-        "baseline_nocache_sentences_per_sec": round(baseline, 2),
         "encode_ms_per_batch": round(encode_s * 1000, 1),
         "decode_ms_per_batch": round(decode_s * 1000, 1),
+        "encode_mfu": round(encode_mfu, 3),
+        "decode_hbm_util": round(decode_hbm_util, 3),
         "batch": batch,
+        "int8_kv": int8_kv,
         "max_new_tokens": max_new,
         "device": str(jax.devices()[0].device_kind),
-    }))
+    }
+
+    if with_baseline:
+        # ---- reference scheme: full re-forward per token, no cache ----------
+        # Measured as ONE full-length LLM forward x max_new steps (fixed full
+        # length == the reference's final-step cost, a LOWER bound on its
+        # growing-length total, so the reported speedup is conservative). The
+        # literal 25-step re-forward scan exceeds this harness's
+        # remote-compile limits; per-step cost is measured exactly.
+        def llm_full(m, idx, prefix, targets):
+            return m.llm_model(idx, prefix=prefix, targets=targets)
+
+        def nocache_step(params, key):
+            prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
+            idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
+            _, logits = model.apply(params, idx, prefix,
+                                    jnp.zeros_like(idx), method=llm_full)
+            return logits[:, -1]
+
+        nocache_s = encode_s + max_new * _bench(nocache_step, 8)
+        baseline = batch / nocache_s
+        result["vs_baseline"] = round(ours / baseline, 2)
+        result["baseline_nocache_sentences_per_sec"] = round(baseline, 2)
+
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def _sweep():
+    """Batch x KV-precision sweep (BASELINE.md round-3 table): the int8 KV
+    cache halves the cache footprint precisely to buy decode-batch headroom —
+    measure whether cashing it in wins end-to-end."""
+    rows = []
+    for batch, int8 in [(128, False), (128, True),
+                        (256, False), (256, True)]:
+        print(f"[sweep] batch={batch} int8_kv={int8}", file=sys.stderr,
+              flush=True)
+        rows.append(main(batch=batch, int8_kv=int8, with_baseline=False))
+    print(json.dumps({"sweep": rows}), flush=True)
+
+
+# ---- parent-side outage armor ----------------------------------------------
+
+_PROBE_CODE = ("import jax, jax.numpy as jnp; "
+               "print('PROBE_OK', float(jnp.sum(jnp.ones((4, 4)))))")
+
+
+def _probe_tunnel(timeout_s: float = 180.0) -> bool:
+    """True iff a tiny value fetch round-trips the tunnel. Cold backend init
+    measured ~60 s when healthy; an outage hangs forever — hence the
+    subprocess + hard timeout (the hang is silent, not an exception)."""
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return p.returncode == 0 and "PROBE_OK 16.0" in p.stdout
+
+
+def _parent(child_args, budget_s: float, child_timeout_s: float) -> int:
+    """Probe-then-run with per-attempt watchdogs until the budget expires.
+    Forwards the child's stdout; exits 0 iff the child's last stdout line is
+    the JSON result."""
+    t0 = time.monotonic()
+    waits = [30, 60, 120, 300, 600, 600]
+    attempt = 0
+    while True:
+        elapsed = time.monotonic() - t0
+        if elapsed > budget_s:
+            print(f"[bench] giving up after {elapsed:.0f}s (budget "
+                  f"{budget_s:.0f}s)", file=sys.stderr, flush=True)
+            return 1
+        attempt += 1
+        print(f"[bench] attempt {attempt}: probing tunnel...",
+              file=sys.stderr, flush=True)
+        if not _probe_tunnel():
+            wait = waits[min(attempt - 1, len(waits) - 1)]
+            print(f"[bench] tunnel probe FAILED (outage?); retrying in "
+                  f"{wait}s", file=sys.stderr, flush=True)
+            time.sleep(wait)
+            continue
+        print("[bench] tunnel ok; running measurement child...",
+              file=sys.stderr, flush=True)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 *child_args],
+                capture_output=True, text=True, timeout=child_timeout_s)
+        except subprocess.TimeoutExpired as e:
+            print(f"[bench] child exceeded watchdog ({child_timeout_s:.0f}s) "
+                  f"— silent hang mid-run; retrying\n{e.stderr or ''}",
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(p.stderr)
+        lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+        if p.returncode == 0 and lines:
+            try:
+                json.loads(lines[-1])
+            except ValueError:
+                print(f"[bench] child rc=0 but last line is not JSON:\n"
+                      f"{p.stdout}", file=sys.stderr, flush=True)
+            else:
+                sys.stdout.write("\n".join(lines) + "\n")
+                sys.stdout.flush()
+                return 0
+        else:
+            print(f"[bench] child failed rc={p.returncode}\n{p.stdout}",
+                  file=sys.stderr, flush=True)
+        wait = waits[min(attempt - 1, len(waits) - 1)]
+        print(f"[bench] retrying in {wait}s", file=sys.stderr, flush=True)
+        time.sleep(wait)
 
 
 if __name__ == "__main__":
-    import sys
-    import traceback
-
-    # the remote-TPU tunnel drops compiles (HTTP 413 / broken pipe) and has
-    # OUTAGES measured in hours (backend-init UNAVAILABLE) — retry with
-    # growing waits rather than losing the round's run to a transient
-    waits = [60, 120, 300, 600, 600]
-    for attempt in range(len(waits) + 1):
-        try:
+    argv = sys.argv[1:]
+    if "--child" in argv:
+        # measurement process (under the parent's watchdog)
+        if "--sweep" in argv:
+            _sweep()
+        else:
             main()
-            break
-        except Exception:
-            traceback.print_exc()
-            if attempt == len(waits):
-                sys.exit(1)
-            print(f"[bench] attempt {attempt + 1} failed; retrying in "
-                  f"{waits[attempt]}s", file=sys.stderr, flush=True)
-            time.sleep(waits[attempt])
+        sys.exit(0)
+    child_args = ["--sweep"] if "--sweep" in argv else []
+    budget = float(os.environ.get("BENCH_BUDGET_S", "7000"))
+    child_timeout = float(os.environ.get(
+        "BENCH_CHILD_TIMEOUT_S", "3000" if child_args else "1800"))
+    sys.exit(_parent(child_args, budget, child_timeout))

@@ -76,6 +76,21 @@ def main():
         from frankenstein_tpu.models import import_reference as ir
         sd = ir.load_state_dict(args.reference_ckpt)
         imported = ir.franky_params(sd)
+        # a checkpoint trained at a different geometry (e.g. nanoGPT's 50304
+        # from-scratch vocab) would otherwise install silently and fail later
+        # with an opaque apply error — compare tree shapes up front
+        want = jax.tree_util.tree_map(lambda a: a.shape, state.params)
+        got = jax.tree_util.tree_map(lambda a: a.shape, imported["params"])
+        if want != got:
+            diffs = [
+                f"  {jax.tree_util.keystr(k)}: ckpt {gs} != model {ws}"
+                for (k, ws), (_, gs) in zip(
+                    jax.tree_util.tree_leaves_with_path(want),
+                    jax.tree_util.tree_leaves_with_path(got)) if ws != gs]
+            raise ValueError(
+                f"reference checkpoint shapes do not match the configured "
+                f"model (check --vocab-size / config geometry):\n"
+                + "\n".join(diffs[:20]))
         state = state.replace(params=imported["params"])
         print(f"loaded reference Franky checkpoint: {args.reference_ckpt}")
     if args.hf_gpt2:

@@ -127,20 +127,28 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     return _sample_scan(module, params, logits, cache, length, rng,
                         qweights=qweights,
                         max_new_tokens=max_new_tokens, temperature=temperature,
-                        top_k=top_k, greedy=greedy)
+                        top_k=top_k, greedy=greedy,
+                        compact_topk=COMPACT_TOPK)
 
 
 @functools.partial(jax.jit, static_argnames=("module", "max_new_tokens",
-                                             "top_k", "greedy"))
+                                             "top_k", "greedy",
+                                             "compact_topk"))
 def _sample_scan(module, params, logits, cache, length, rng, *,
                  qweights=None, max_new_tokens: int, temperature: float = 1.0,
-                 top_k: Optional[int] = None, greedy: bool = False):
+                 top_k: Optional[int] = None, greedy: bool = False,
+                 compact_topk: Optional[bool] = None):
     # Compact-logits path: when the module can return just the top-k
     # (GPT.decode_step_topk — on TPU one fused ln_f+lm_head+top-k Pallas
     # program), the [B, vocab] logits tensor never exists in the scan.
     # decode_step_topk has no qweights contract — w8a16 requests must not be
     # silently dropped, so they take the dense route below.
-    if (COMPACT_TOPK and qweights is None and top_k is not None
+    # compact_topk is a STATIC arg (callers pass the module-level
+    # COMPACT_TOPK eagerly): reading the module global here would bake its
+    # first-call value into the jit cache and silently ignore later toggles.
+    if compact_topk is None:
+        compact_topk = COMPACT_TOPK
+    if (compact_topk and qweights is None and top_k is not None
             and top_k < logits.shape[-1]
             and not greedy and hasattr(type(module), "decode_step_topk")):
         return _sample_scan_topk(module, params, logits, cache, length, rng,

@@ -39,6 +39,9 @@ FUSED_MLP_VMEM = 40 * 1024 * 1024
 # predicted HBM savings don't materialize, and the fused path costs ~1.5%
 # numerics drift (f32-silu ordering). Kept as a tested alternate, default OFF
 # (same policy as the fused ln_f+lm_head+top-k decode kernel).
+# NOTE: read at TRACE time inside Block.__call__ — an outer jit caches the
+# traced value, so toggle this BEFORE the first jitted call for a given
+# (module, shape); later toggles do not invalidate existing jit caches.
 ENABLED = False
 
 # Test hook: force the fused path in Pallas interpret mode on any backend

@@ -42,8 +42,11 @@ STAGE_AXIS = "stage"
 
 def _pvary(x, axis):
     """Mark ``x`` as varying over ``axis`` (no-op on JAX versions without
-    the varying-manual-axes type system)."""
-    if hasattr(jax.lax, "pvary"):
+    the varying-manual-axes type system). jax.lax.pcast is the current
+    spelling; pvary is its deprecated alias."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    if hasattr(jax.lax, "pvary"):  # pragma: no cover — pre-pcast JAX
         return jax.lax.pvary(x, (axis,))
     return x
 

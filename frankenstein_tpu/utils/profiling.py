@@ -20,6 +20,28 @@ TPU_PEAK_FLOPS = {
 }
 A100_PEAK_FLOPS = 312e12
 
+# HBM bandwidth per chip (bytes/s)
+TPU_HBM_BW = {
+    "v4": 1228e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v6e": 1640e9,
+}
+
+
+def detect_hbm_bw(default: float = TPU_HBM_BW["v5e"]) -> float:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return default
+    key = kind.replace(" ", "").replace("tpu", "")
+    for gen, bw in TPU_HBM_BW.items():
+        if gen in key:
+            return bw
+    if "v5lite" in key:
+        return TPU_HBM_BW["v5e"]
+    return default
+
 
 def detect_peak_flops(default: float = TPU_PEAK_FLOPS["v5e"]) -> float:
     try:
@@ -60,9 +82,11 @@ def block_stack_fwd_flops(seq: int, dim: int, hidden: int, n_heads: int,
     return float(n_layers) * seq * (qkv + proj + mlp + attn)
 
 
-def franky_fwd_flops_per_sample(cfg) -> float:
-    """Forward FLOPs of one Franky sample (encoder + Perceiver + GPT)."""
-    e, p, g = cfg.brain.encoder, cfg.brain, cfg.gpt
+def franky_encode_flops_per_sample(cfg) -> float:
+    """Forward FLOPs of the Franky BrainEncoder path (MAE encoder +
+    Perceiver cross/self blocks + output projection) — the encode phase of
+    decode serving, i.e. everything before the GPT."""
+    e, p = cfg.brain.encoder, cfg.brain
     n_tok = e.block_size
     enc = (2 * e.patch_size * e.dim * n_tok
            + block_stack_fwd_flops(n_tok, e.dim, e.hidden_dim, e.n_heads,
@@ -77,11 +101,38 @@ def franky_fwd_flops_per_sample(cfg) -> float:
                                               p.n_heads, p.head_dim,
                                               p.n_layers)
     proj_out = 2 * p.dim * p.output_dim * nq
-    t_full = p.n_output_tokens + cfg.max_tokens
+    return enc + perceiver + proj_out
+
+
+def franky_fwd_flops_per_sample(cfg) -> float:
+    """Forward FLOPs of one Franky sample (encoder + Perceiver + GPT)."""
+    g = cfg.gpt
+    t_full = cfg.brain.n_output_tokens + cfg.max_tokens
     gpt = (block_stack_fwd_flops(t_full, g.n_embd, 4 * g.n_embd, g.n_head,
                                  g.head_dim, g.n_layer, n_mlp_mats=2)
            + 2 * g.n_embd * g.vocab_size * cfg.max_tokens)  # tied lm head
-    return enc + perceiver + proj_out + gpt
+    return franky_encode_flops_per_sample(cfg) + gpt
+
+
+def gpt_decode_hbm_bytes(gcfg, batch: int, cache_len: int, n_tokens: int,
+                         *, weight_bytes: int = 2, cache_bytes: int = 2,
+                         lm_head_every_step: bool = True) -> float:
+    """Minimum HBM traffic (bytes) for ``n_tokens`` KV-cached GPT decode
+    steps at batch ``batch`` — the roofline denominator for
+    ``decode_hbm_util``.
+
+    Per step: every block weight matrix is read once (qkv E*3E + proj E*E +
+    MLP 2*E*4E = 12E^2 per layer), the lm_head (E*vocab) is read once, the
+    full allocated K/V cache (2 * L * B * cache_len * E) is read, and one
+    row per layer is written. Activations are VMEM-resident in the fused
+    kernel (ops/pallas/fused_decode.py) and don't count.
+    """
+    e = gcfg.n_embd
+    block_w = gcfg.n_layer * 12 * e * e * weight_bytes
+    lm_head = e * gcfg.vocab_size * weight_bytes if lm_head_every_step else 0.0
+    cache_read = 2 * gcfg.n_layer * batch * cache_len * e * cache_bytes
+    cache_write = 2 * gcfg.n_layer * batch * e * cache_bytes
+    return float(n_tokens) * (block_w + lm_head + cache_read + cache_write)
 
 
 def mae_fwd_flops_per_sample(cfg) -> float:

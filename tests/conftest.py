@@ -7,10 +7,22 @@ TPU plugin overrides the JAX_PLATFORMS env var, so we must use
 jax.config.update (which wins over the plugin's default)."""
 
 import os
+import shutil
+import subprocess
+from pathlib import Path
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+# Build the native host-preprocessing library (native/preprocess.cpp) so
+# tests/test_native.py runs instead of skipping: a C++ path the suite never
+# exercises is a C++ path that silently rots.
+_NATIVE = Path(__file__).resolve().parents[1] / "native"
+if shutil.which("make") and shutil.which(os.environ.get("CXX", "g++")) and \
+        not (_NATIVE / "libfkpreproc.so").exists():
+    subprocess.run(["make", "-C", str(_NATIVE)], check=False,
+                   capture_output=True)
 
 import jax  # noqa: E402
 
