@@ -110,6 +110,13 @@ class MAEConfig(_SerializableMixin):
     # real learned embedding when enabled.
     n_sessions: int = 0
 
+    # sequence parallelism: when True AND the enclosing `with mesh:` has a
+    # 'seq' axis, the Encoder's slab attention routes through ring attention
+    # (parallel/ring_attention.py) — K/V blocks rotate the ICI ring, for
+    # windows whose 6144+-token slab attention exceeds one chip. No mesh =>
+    # silently the normal single-chip paths (identical math either way).
+    seq_parallel: bool = False
+
     @property
     def n_patches_per_channel(self) -> int:
         return self.window_size // self.patch_size
@@ -180,6 +187,16 @@ class GPTConfig(_SerializableMixin):
     n_embd: int = 768
     dropout: float = 0.0
     bias: bool = True
+
+    # Mixture-of-Experts MLP (beyond-reference; models/moe.py). moe_experts=0
+    # keeps the dense GELU MLP; >0 swaps every block's MLP for a top-k-routed
+    # MoESwiGLU sharded over the 'model' mesh axis (expert parallelism,
+    # parallel/sharding.py:MOE_EP_RULES). The Switch load-balancing auxiliary
+    # loss is added to the LM loss with weight moe_aux_weight.
+    moe_experts: int = 0
+    moe_k: int = 2
+    moe_capacity: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def head_dim(self) -> int:

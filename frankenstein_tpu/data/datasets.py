@@ -10,6 +10,7 @@ ops/preprocess.py.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence
@@ -96,12 +97,18 @@ def pad_truncate_brain_list(brain_list, max_length: int = MAX_INPUT_LEN):
 # .mat ingest (reference:data_utils.py:159-199)
 # ---------------------------------------------------------------------------
 
-def process_file(data_file: Path, mode: str = "voltages"):
+def process_file(data_file: Path, mode: str = "voltages",
+                 use_native: Optional[bool] = None):
     """One session .mat -> (brain_list, sentence_list, date_list).
 
     mode: 'voltages' (256ch spikePow z-score, the reference's active path,
     reference:data_utils.py:174-181) or 'concat512' (spikePow+tx4 + smoothing,
     the bypassed alternative, reference:data_utils.py:115-156).
+
+    use_native: route normalization/smoothing through the C++ host library
+    (data/native.py, built from native/preprocess.cpp — single-pass fused
+    z-score vs numpy's concat+mean+std temporaries). Default: the
+    FK_NATIVE_PREPROC env var; silently numpy when the lib isn't built.
     """
     import scipy.io
     data = scipy.io.loadmat(data_file)
@@ -112,7 +119,19 @@ def process_file(data_file: Path, mode: str = "voltages"):
     block_list = data["blockIdx"][:, 0]
     sentence_list = [str(s).strip() for s in data["sentenceText"]]
 
-    if mode == "concat512":
+    if use_native is None:
+        use_native = os.environ.get("FK_NATIVE_PREPROC", "") == "1"
+    if use_native:
+        from frankenstein_tpu.data import native as native_lib
+        if mode == "concat512":
+            concat = [np.concatenate([v, s], axis=1)
+                      for v, s in zip(voltage_list, spikes_list)]
+            normed = native_lib.z_score_per_block_scaling(concat, block_list)
+            brain_list = [native_lib.gaussian_smooth(x, 1.0) for x in normed]
+        else:
+            brain_list = native_lib.z_score_per_block_scaling(
+                voltage_list, block_list)
+    elif mode == "concat512":
         brain_list = process_signal(voltage_list, spikes_list, block_list)
     else:
         brain_list = z_score_per_block_scaling(voltage_list, block_list)
@@ -120,10 +139,11 @@ def process_file(data_file: Path, mode: str = "voltages"):
     return brain_list, sentence_list, [date] * n_trials
 
 
-def process_all_files(path: Path, mode: str = "voltages"):
+def process_all_files(path: Path, mode: str = "voltages",
+                      use_native: Optional[bool] = None):
     data = {"brain_list": [], "sentence_list": [], "date_list": []}
     for data_file in sorted(Path(path).glob("*.mat")):
-        brains, sentences, dates = process_file(data_file, mode)
+        brains, sentences, dates = process_file(data_file, mode, use_native)
         data["brain_list"].extend(brains)
         data["sentence_list"].extend(sentences)
         data["date_list"].extend(dates)

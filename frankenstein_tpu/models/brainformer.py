@@ -99,9 +99,14 @@ class Encoder(nn.Module):
         patches = to_patches(x, c.patch_size)
         tok = self.embed_tokens(patches, date_info=date_info)
         rope = rope_ops.build_rope_cache(c.head_dim, c.block_size, c.rope_theta)
+        impl = "auto"
+        if c.seq_parallel:
+            from frankenstein_tpu.parallel import ring_attention as ra
+            if ra.ambient_seq_mesh() is not None:
+                impl = "ring"   # sequence-parallel slab attention over ICI
         for block in self.h:
             tok = block(tok, mask_mode="slab", tok_per_time=c.n_electrodes,
-                        rope=rope)
+                        rope=rope, impl=impl)
         return self.ln_f(tok)
 
     def forward_subset(self, patches, positions, rope_cache, date_info=None):

@@ -117,7 +117,11 @@ class GPTBlock(nn.Module):
     Dropout mirrors the nanoGPT fork: on the attention probabilities, after
     the attention projection, and after the MLP projection
     (reference:gpt2_model.py:33,40,51,66-71). Active only when
-    ``deterministic=False`` (training) and ``cfg.dropout > 0``."""
+    ``deterministic=False`` (training) and ``cfg.dropout > 0``.
+
+    The carry threads a scalar MoE auxiliary-loss accumulator (always 0.0
+    for the dense MLP) so ``nn.scan`` sums the per-layer Switch
+    load-balancing losses without a mutable collection."""
 
     cfg: GPTConfig
     dtype: Any = jnp.float32
@@ -125,7 +129,7 @@ class GPTBlock(nn.Module):
     @nn.compact
     def __call__(self, carry, layer_cache, deterministic: bool = True):
         c = self.cfg
-        x, length = carry
+        x, length, aux = carry
         k_cache, v_cache = layer_cache
         b, t, _ = x.shape
         dropping = (not deterministic) and c.dropout > 0.0
@@ -154,12 +158,21 @@ class GPTBlock(nn.Module):
         x = x + y
 
         h = _LN(c.n_embd, c.bias, name="ln_2")(x)
-        h = nn.gelu(_dense(4 * c.n_embd, c.bias, self.dtype, "c_fc")(h),
-                    approximate=False)
-        h = _dense(c.n_embd, c.bias, self.dtype, "mlp_c_proj", proj_init)(h)
+        if c.moe_experts > 0:
+            from frankenstein_tpu.models.moe import MoESwiGLU
+            h, aux_l = MoESwiGLU(dim=c.n_embd, hidden_dim=4 * c.n_embd,
+                                 n_experts=c.moe_experts, k=c.moe_k,
+                                 capacity_factor=c.moe_capacity,
+                                 mesh_axis="model", dtype=self.dtype,
+                                 name="moe")(h)
+            aux = aux + aux_l
+        else:
+            h = nn.gelu(_dense(4 * c.n_embd, c.bias, self.dtype, "c_fc")(h),
+                        approximate=False)
+            h = _dense(c.n_embd, c.bias, self.dtype, "mlp_c_proj", proj_init)(h)
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         x = x + h
-        return (x, length), (k_cache, v_cache)
+        return (x, length, aux), (k_cache, v_cache)
 
 
 class GPT(nn.Module):
@@ -202,8 +215,11 @@ class GPT(nn.Module):
         return self.drop(x, deterministic=deterministic)
 
     def _run_blocks(self, x, cache, length, deterministic: bool = True):
-        (x, _), cache = self.h((x, length), cache, deterministic)
-        return x, cache
+        """Returns (x, cache, moe_aux) — moe_aux is the summed per-layer
+        Switch balancing loss (0.0 for the dense MLP)."""
+        (x, _, aux), cache = self.h((x, length, jnp.float32(0.0)), cache,
+                                    deterministic)
+        return x, cache, aux
 
     def __call__(self, idx, prefix=None, targets=None, train: bool = False):
         """Full forward. idx: [B, Tw] int32; prefix: [B, Tc, n_embd] or None.
@@ -217,13 +233,15 @@ class GPT(nn.Module):
         det = not train
         x = self._embed(idx, prefix, deterministic=det)
         cache = init_cache(self.cfg, x.shape[0], x.shape[1], dtype=self.dtype)
-        x, _ = self._run_blocks(x, cache, jnp.int32(0), deterministic=det)
+        x, _, aux = self._run_blocks(x, cache, jnp.int32(0), deterministic=det)
         x = x[:, -t_words:]
         x = self.ln_f(x)
 
         if targets is not None:
             logits = self._lm_head(x)
             loss = cross_entropy_ignore(logits[:, :-1], targets[:, 1:])
+            if self.cfg.moe_experts > 0:
+                loss = loss + self.cfg.moe_aux_weight * aux
             return loss, logits
         logits = self._lm_head(x[:, -1:])
         return None, logits
@@ -235,7 +253,7 @@ class GPT(nn.Module):
 
         Returns (logits_last [B, vocab], cache, length)."""
         x = self._embed(idx, prefix)
-        x, cache = self._run_blocks(x, cache, jnp.int32(0))
+        x, cache, _ = self._run_blocks(x, cache, jnp.int32(0))
         x = self.ln_f(x[:, -1:])
         logits = self._lm_head(x)[:, 0]
         return logits, cache, jnp.int32(x_len(idx, prefix))
@@ -251,9 +269,10 @@ class GPT(nn.Module):
         c = self.cfg
         k_cache = cache[0]
         quant = isinstance(cache, QuantCache)
-        if fused_decode.supported(c.n_layer, c.n_head, c.head_dim,
-                                  k_cache.shape[1], k_cache.shape[2],
-                                  jnp.dtype(k_cache.dtype).itemsize):
+        if c.moe_experts == 0 and fused_decode.supported(
+                c.n_layer, c.n_head, c.head_dim,
+                k_cache.shape[1], k_cache.shape[2],
+                jnp.dtype(k_cache.dtype).itemsize):
             xo, cache = _fused_blocks(
                 c, self.variables["params"]["h"], x[:, 0], cache, length,
                 compute_dtype=self.dtype if quant else None,
@@ -268,12 +287,13 @@ class GPT(nn.Module):
                                                       self.dtype),
                    fused_decode.dequantize_cache_side(cache.v, cache.v_scale,
                                                       self.dtype))
-            xo, (kf, vf) = self._run_blocks(x, deq, length)
+            xo, (kf, vf), _ = self._run_blocks(x, deq, length)
             return xo, QuantCache(
                 fused_decode.quantize_with_scales(kf, cache.k_scale),
                 fused_decode.quantize_with_scales(vf, cache.v_scale),
                 cache.k_scale, cache.v_scale)
-        return self._run_blocks(x, cache, length)
+        xo, cache, _ = self._run_blocks(x, cache, length)
+        return xo, cache
 
     def decode_step(self, token, cache, length, qweights=None):
         """One decode step. token: [B] int32 at absolute position ``length``.
@@ -352,32 +372,27 @@ def _fused_blocks(cfg: GPTConfig, h_params, x, cache, length,
     """Run all blocks for one token via the fused kernel.
 
     x: [B, E]; cache: ([L, B, S, E], ...) or QuantCache; returns
-    (x [B, E], cache) with the new K/V rows scattered in at row ``length``
-    (one in-place ``dynamic_update_slice`` per cache — inside a scan carry
-    the buffer is donated, so no copy; QuantCache rows quantize with the
-    cache's fixed scales first). ``h_params`` is the stacked-[L] param dict
-    that ``nn.scan`` stores for the block stack; ``stacked`` overrides it
-    with a prebuilt kernel-weight dict (e.g. int8 w8a16 weights from
-    ``quantize_decode_weights``)."""
+    (x [B, E], cache) with the new K/V rows written at row ``length`` BY THE
+    KERNEL ITSELF — the cache outputs alias the inputs (scalar-prefetch
+    output index map), so there is no XLA-side scatter at all. The earlier
+    dynamic_update_slice design was in-place for the cache but paid two
+    layout-retiling copies of the new rows per step (~0.4 ms at b=128;
+    tools/chain_attr.py + HLO cost model). QuantCache rows quantize
+    in-kernel with the cache's fixed scales. ``h_params`` is the stacked-[L]
+    param dict that ``nn.scan`` stores for the block stack; ``stacked``
+    overrides it with a prebuilt kernel-weight dict (e.g. int8 w8a16
+    weights from ``quantize_decode_weights``)."""
     quant = isinstance(cache, QuantCache)
     k_cache, v_cache = cache[0], cache[1]
-    nl, b, s, e = k_cache.shape
     cdt = compute_dtype if compute_dtype is not None else (
         jnp.bfloat16 if quant else k_cache.dtype)
     if stacked is None:
         stacked = _stack_decode_weights(h_params, cdt)
-    x, k_new, v_new = fused_decode.fused_decode_blocks(
+    x, kc, vc = fused_decode.fused_decode_blocks(
         x, stacked, k_cache, v_cache, length,
         cache.k_scale if quant else None, cache.v_scale if quant else None,
         n_layer=cfg.n_layer, n_head=cfg.n_head, head_dim=cfg.head_dim,
         interpret=interpret)
-    if quant:
-        k_new = fused_decode.quantize_rows(k_new, cache.k_scale)
-        v_new = fused_decode.quantize_rows(v_new, cache.v_scale)
-    kc = jax.lax.dynamic_update_slice(k_cache, k_new[:, :, None],
-                                      (0, 0, length, 0))
-    vc = jax.lax.dynamic_update_slice(v_cache, v_new[:, :, None],
-                                      (0, 0, length, 0))
     if quant:
         return x, QuantCache(kc, vc, cache.k_scale, cache.v_scale)
     return x, (kc, vc)

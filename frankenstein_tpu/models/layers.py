@@ -148,6 +148,25 @@ class SelfAttention(nn.Module):
             q = rope_ops.apply_rope(q, rope, align=self.rope_align)
             k = rope_ops.apply_rope(k, rope, align=self.rope_align)
 
+        if impl == "ring":
+            # sequence parallelism: K/V blocks rotate the ICI ring
+            # (parallel/ring_attention.py); masks from GLOBAL positions,
+            # so the math matches the single-device paths exactly
+            from frankenstein_tpu.parallel import ring_attention as ra
+            mesh = ra.ambient_seq_mesh()
+            if mesh is None:
+                raise ValueError(
+                    "impl='ring' needs an active `with mesh:` whose axes "
+                    f"include '{ra.SEQ_AXIS}'")
+            if mask is not None or positions is not None:
+                raise NotImplementedError(
+                    "ring attention supports mask_mode-style masks only")
+            out = ra.ring_attention_sharded(
+                mesh, q, k, v,
+                causal=(mask_mode == "causal"),
+                slab=tok_per_time if mask_mode == "slab" else None)
+            return dense(self.dim, "project")(out.reshape(b, t, inner))
+
         out = attn_ops.dot_product_attention(
             q, k, v, mask=mask, mask_mode=mask_mode,
             tok_per_time=tok_per_time, positions=positions, impl=impl)

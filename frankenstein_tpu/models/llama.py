@@ -44,6 +44,15 @@ class LlamaConfig(_SerializableMixin):
     max_seq_len: int = 8192
     tie_embeddings: bool = False
 
+    # Mixture-of-Experts MLP (models/moe.py): 0 keeps the dense SwiGLU; >0
+    # swaps every block's MLP for a top-moe_k-routed MoESwiGLU with experts
+    # sharded over the 'model' mesh axis (MOE_EP_RULES). The Switch
+    # balancing loss joins the LM loss with weight moe_aux_weight.
+    moe_experts: int = 0
+    moe_k: int = 2
+    moe_capacity: float = 1.25
+    moe_aux_weight: float = 0.01
+
     @property
     def head_dim(self) -> int:
         return self.dim // self.n_heads
@@ -75,7 +84,7 @@ class LlamaBlock(nn.Module):
     @nn.compact
     def __call__(self, carry, layer_cache):
         c = self.cfg
-        x, length = carry
+        x, length, aux = carry
         k_cache, v_cache = layer_cache
         b, t, _ = x.shape
         hd, nh, nkv = c.head_dim, c.n_heads, c.n_kv_heads
@@ -110,10 +119,20 @@ class LlamaBlock(nn.Module):
         x = x + dense(c.dim, "o_proj")(y.reshape(b, t, nh * hd))
 
         h = _RMS(c.dim, c.norm_eps, name="post_attn_norm")(x)
-        gate = nn.silu(dense(c.hidden_dim, "gate_proj")(h))
-        up = dense(c.hidden_dim, "up_proj")(h)
-        x = x + dense(c.dim, "down_proj")(gate * up)
-        return (x, length), (k_cache, v_cache)
+        if c.moe_experts > 0:
+            from frankenstein_tpu.models.moe import MoESwiGLU
+            y, aux_l = MoESwiGLU(dim=c.dim, hidden_dim=c.hidden_dim,
+                                 n_experts=c.moe_experts, k=c.moe_k,
+                                 capacity_factor=c.moe_capacity,
+                                 mesh_axis="model", dtype=self.dtype,
+                                 name="moe")(h)
+            x = x + y
+            aux = aux + aux_l
+        else:
+            gate = nn.silu(dense(c.hidden_dim, "gate_proj")(h))
+            up = dense(c.hidden_dim, "up_proj")(h)
+            x = x + dense(c.dim, "down_proj")(gate * up)
+        return (x, length, aux), (k_cache, v_cache)
 
 
 class Llama(nn.Module):
@@ -152,11 +171,15 @@ class Llama(nn.Module):
         x = self._embed_in(idx, prefix)
         cache = init_llama_cache(self.cfg, x.shape[0], x.shape[1],
                                  dtype=self.dtype)
-        (x, _), _ = self.layers((x, jnp.int32(0)), cache)
+        (x, _, aux), _ = self.layers((x, jnp.int32(0), jnp.float32(0.0)),
+                                     cache)
         x = self.norm_f(x[:, -t_words:])
         if targets is not None:
             logits = self._head(x)
-            return cross_entropy_ignore(logits[:, :-1], targets[:, 1:]), logits
+            loss = cross_entropy_ignore(logits[:, :-1], targets[:, 1:])
+            if self.cfg.moe_experts > 0:
+                loss = loss + self.cfg.moe_aux_weight * aux
+            return loss, logits
         return None, self._head(x[:, -1:])
 
     def sequence_logprob(self, idx, prefix=None,
@@ -173,14 +196,15 @@ class Llama(nn.Module):
 
     def prefill(self, idx, prefix, cache):
         x = self._embed_in(idx, prefix)
-        (x, _), cache = self.layers((x, jnp.int32(0)), cache)
+        (x, _, _), cache = self.layers((x, jnp.int32(0), jnp.float32(0.0)),
+                                       cache)
         x = self.norm_f(x[:, -1:])
         from frankenstein_tpu.models.gpt2 import x_len
         return self._head(x)[:, 0], cache, jnp.int32(x_len(idx, prefix))
 
     def decode_step(self, token, cache, length):
         x = jnp.take(self.embed, token[:, None], axis=0).astype(self.dtype)
-        (x, _), cache = self.layers((x, length), cache)
+        (x, _, _), cache = self.layers((x, length, jnp.float32(0.0)), cache)
         x = self.norm_f(x)
         return self._head(x)[:, 0], cache, length + 1
 

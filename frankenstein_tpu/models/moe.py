@@ -54,6 +54,11 @@ class MoESwiGLU(nn.Module):
         n_tok = b * t
         e = self.n_experts
         cap = max(1, int(self.capacity_factor * n_tok * self.k / e))
+        if t == 1:
+            # single-position (cached decode) call: capacity is per-dispatch,
+            # so the training-time factor would drop tokens a full forward
+            # keeps and skew serving logits — make drops impossible instead
+            cap = n_tok
         xt = x.reshape(n_tok, d)
 
         # ---- router (always f32: tiny, numerically sensitive) --------------

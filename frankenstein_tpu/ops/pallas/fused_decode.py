@@ -73,7 +73,7 @@ def _gelu_exact(x):
 def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
             ln2w, ln2b, wfc, bfc, wfc2, bfc2, kc_ref, vc_ref, *rest,
             n_layer: int, n_head: int, head_dim: int, seq: int, bc: int,
-            quant_cache: bool, quant_w: bool):
+            quant_cache: bool, quant_w: bool, compute_dtype):
     # Optional dequant-scale inputs appear ONLY in the quantized modes —
     # the float path keeps its original op and DMA count (Mosaic cannot
     # constant-fold runtime ones-arrays, so they must not be passed at all).
@@ -96,8 +96,9 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
 
     x = x_scr[rows]                                   # [BC, E] f32
     # compute dtype (bf16 on TPU) — the CACHE dtype may differ (int8 KV
-    # cache: rows dequantize in-register via the per-(layer, lane) scales)
-    cdt = knew_ref.dtype
+    # cache: rows dequantize in-register via the per-(layer, lane) scales,
+    # and the new rows REQUANTIZE in-kernel before the int8 store)
+    cdt = compute_dtype
 
     # ---- attention sublayer ------------------------------------------------
     h = _layer_norm_f32(x, ln1w[0].astype(jnp.float32),
@@ -116,8 +117,32 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     qkv = qkv + bqkv[0].astype(jnp.float32)
     e = n_head * head_dim
     q, k_new, v_new = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
-    knew_ref[0] = k_new.astype(knew_ref.dtype)
-    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+    # The new rows write STRAIGHT INTO the caches: knew_ref/vnew_ref are
+    # [1, BC, 8, E] blocks of the cache outputs around row ``length``
+    # (scalar-prefetch output index map; Mosaic needs the second-minor
+    # block dim divisible by 8, so the updated row is blended into its
+    # 8-row tile from the already-loaded cache block) and the cache outputs
+    # ALIAS the inputs. The XLA alternative — return rows, then
+    # dynamic_update_slice — is in-place for the cache but pays two
+    # layout-retiling copies of the [L, B, 1, E] rows per step (~0.2 ms
+    # each at b=128, HLO cost model + tools/chain_attr.py).
+    if quant_cache:
+        # quantize IN-KERNEL with the cache's fixed scales (same round/clip
+        # as quantize_rows) — the per-step XLA quantize chain otherwise
+        # eats the int8 read saving (round-2: 1.03x end-to-end)
+        q8 = lambda r, s: jnp.clip(jnp.round(r / s[0]), -127, 127
+                                   ).astype(jnp.int8)
+        row_k, row_v = q8(k_new, ks_ref[0]), q8(v_new, vs_ref[0])
+    else:
+        row_k = k_new.astype(knew_ref.dtype)
+        row_v = v_new.astype(vnew_ref.dtype)
+    base = (len_ref[0] // 8) * 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+           == (len_ref[0] - base))
+    ktile = kc_ref[0, :, pl.ds(base, 8)]    # dynamic ref slice (VMEM)
+    vtile = vc_ref[0, :, pl.ds(base, 8)]
+    knew_ref[0] = jnp.where(sel, row_k[:, None, :], ktile)
+    vnew_ref[0] = jnp.where(sel, row_v[:, None, :], vtile)
 
     # Attention for ALL heads at once, full 768-lane VPU width — a per-head
     # loop works on 64-lane slices (half the VPU idle) and Mosaic allocates
@@ -322,12 +347,16 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
     int8 KV cache: pass int8 caches plus per-(layer, lane) dequant scales
     k_scale/v_scale [L, 1, E] f32 (see ``quantize_cache``); rows dequantize
     in-register, halving the dominant cache HBM stream (measured 0.14 ->
-    0.10 ms for the per-step K read at the flagship shape on v5e). The
-    returned k_new/v_new stay UNQUANTIZED (compute dtype) — the caller
-    quantizes them with the same fixed scales before scattering.
+    0.10 ms for the per-step K read at the flagship shape on v5e); the new
+    rows REQUANTIZE in-kernel with the same fixed scales (same round/clip
+    as ``quantize_rows``).
 
-    Returns (x_out [B, E], k_new [L, B, E], v_new [L, B, E]) — the caller
-    scatters k_new/v_new into the caches at row ``length``.
+    Returns (x_out [B, E], k_cache', v_cache') — the caches are updated IN
+    PLACE (the outputs alias the inputs; the kernel writes the new rows at
+    row ``length`` directly). The caller must treat the INPUT cache arrays
+    as consumed and carry the returned ones. The XLA alternative (return
+    rows + dynamic_update_slice) pays two layout-retiling row copies per
+    step, ~0.4 ms at b=128 (tools/chain_attr.py, HLO cost model).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -376,8 +405,13 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
         in_specs += [vec(3 * e), vec(e), vec(4 * e), vec(e)]          # w scales
     out_specs = [
         pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
-        pl.BlockSpec((1, bc, e), lambda l, bi, len_r: (l, bi, 0)),    # k_new
-        pl.BlockSpec((1, bc, e), lambda l, bi, len_r: (l, bi, 0)),    # v_new
+        # new K/V rows land in the 8-row tile around row ``length`` of the
+        # ALIASED caches: the output block index rides the scalar prefetch,
+        # so each grid step writes exactly its (layer, batch-chunk) tile
+        pl.BlockSpec((1, bc, 8, e),
+                     lambda l, bi, len_r: (l, bi, len_r[0] // 8, 0)),
+        pl.BlockSpec((1, bc, 8, e),
+                     lambda l, bi, len_r: (l, bi, len_r[0] // 8, 0)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -387,16 +421,22 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
         scratch_shapes=[pltpu.VMEM((b, e), jnp.float32)],
     )
     p = stacked
-    xo, k_new, v_new = pl.pallas_call(
+    # the cache outputs ALIAS the cache inputs (operands 14/15 of the call,
+    # counting the scalar prefetch at 0) — the kernel scatters the new rows
+    # in place and the caller gets back the SAME buffers, updated. In-kernel
+    # quantization (int8 caches) keeps the rows in the cache dtype.
+    xo, kc_out, vc_out = pl.pallas_call(
         functools.partial(_kernel, n_layer=n_layer, n_head=n_head,
                           head_dim=head_dim, seq=s, bc=bc,
-                          quant_cache=quant_cache, quant_w=w8),
+                          quant_cache=quant_cache, quant_w=w8,
+                          compute_dtype=cdt),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, e), x.dtype),
-            jax.ShapeDtypeStruct((n_layer, b, e), cdt),
-            jax.ShapeDtypeStruct((n_layer, b, e), cdt),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
+        input_output_aliases={14: 1, 15: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -408,4 +448,4 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
       p["proj_w"], v3(p["proj_b"]), v3(p["ln2_w"]), v3(p["ln2_b"]),
       p["fc_w"], v3(p["fc_b"]), p["fc2_w"], v3(p["fc2_b"]),
       k_cache, v_cache, *cache_scales, *w_scales)
-    return xo, k_new, v_new
+    return xo, kc_out, vc_out

@@ -38,6 +38,20 @@ SEQ_AXIS = "seq"
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def ambient_seq_mesh() -> Optional[Mesh]:
+    """The mesh from the enclosing ``with mesh:`` context iff it has a
+    ``'seq'`` axis (trace-time decision; None otherwise). Lets model code
+    opt into sequence parallelism (``MAEConfig.seq_parallel``) without
+    threading a Mesh through module attributes."""
+    from jax.interpreters import pxla
+
+    mesh = pxla.thread_resources.env.physical_mesh
+    if mesh is not None and not getattr(mesh, "empty", True) \
+            and SEQ_AXIS in mesh.axis_names:
+        return mesh
+    return None
+
+
 def _block_mask(q_pos, k_pos, causal: bool, slab: Optional[int]):
     """[Tq, Tk] bool allow-mask from global positions."""
     if slab is not None:

@@ -22,6 +22,7 @@ COL = "col"   # split output features: [.., in, out] -> P(..., None, 'model')
 ROW = "row"   # split input features:  [.., in, out] -> P(..., 'model', None)
 VOCAB = "vocab"  # split dim 0 of an embedding table
 EXPERT = "expert"  # split dim 0 of stacked [E, ...] MoE expert weights
+EXPERT_SCAN = "expert_scan"  # dim 1 of layer-scanned [L, E, ...] stacks
 
 # pattern (regex over '/'-joined path) -> rule
 LLAMA_TP_RULES: Sequence[Tuple[str, str]] = (
@@ -31,8 +32,11 @@ LLAMA_TP_RULES: Sequence[Tuple[str, str]] = (
 )
 
 # expert parallelism for models/moe.py:MoESwiGLU — stacked [E, d, f] expert
-# weights shard on the expert axis; the tiny router wg replicates
+# weights shard on the expert axis; the tiny router wg replicates. Inside a
+# layer-scanned LM (GPTConfig/LlamaConfig moe_experts>0) the stack carries a
+# leading [L] axis, so the expert axis is dim 1.
 MOE_EP_RULES: Sequence[Tuple[str, str]] = (
+    (r".*/moe/(w1|w2|w3)$", EXPERT_SCAN),
     (r".*/(w1|w2|w3)$", EXPERT),
 )
 
@@ -53,6 +57,8 @@ def spec_for(path: str, shape, rules) -> P:
                 return P(*([None] * (ndim - 2) + ["model", None]))
             if kind in (VOCAB, EXPERT):
                 return P(*(["model"] + [None] * (ndim - 1)))
+            if kind == EXPERT_SCAN:
+                return P(*([None, "model"] + [None] * (ndim - 2)))
     return P()  # replicate
 
 

@@ -149,3 +149,52 @@ def test_gpt2_bpe_when_assets_exist(tmp_path):
     assert tok.decode(ids) == "hi"
     ids2 = tok.encode("<|endoftext|>hi<|endoftext|>")
     assert ids2[0] == 50256 and ids2[-2] == ids[0] and ids2[-1] == 50256
+
+
+def test_gpt2_bpe_golden_real_merges_head(tmp_path):
+    """Token-golden test against REAL GPT-2 id conventions, no network:
+
+    - ids 0..255 are the 256 byte symbols ordered by the codepoint of their
+      bytes_to_unicode image ('!'=0 ... 'A'=32 ... 'a'=64 ... space 'Ġ'=220);
+    - id 256+i is the product of merge i (reference:utils/data_utils.py:270
+      tokenizes with this exact vocab via GPT2Tokenizer).
+
+    tests/fixtures/gpt2_merges_head.txt holds the first 10 published GPT-2
+    merges, so every golden id below is the id real GPT-2 assigns: ' the' is
+    merge #6 -> id 262 (one of the best-known GPT-2 token ids). Text whose
+    merges lie beyond the slice decomposes into slice tokens — exact BPE
+    semantics under a truncated merge table, asserting engine behavior
+    (min-rank merge order, byte mapping, regex splitting), not full-vocab
+    coverage."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    fixture = Path(__file__).parent / "fixtures" / "gpt2_merges_head.txt"
+    b2u = tokenizers._bytes_to_unicode()
+    # byte-symbol ids: sort the 256 mapped chars by codepoint
+    symbols = sorted(b2u.values(), key=ord)
+    vocab = {ch: i for i, ch in enumerate(symbols)}
+    assert vocab["!"] == 0 and vocab["A"] == 32 and vocab["a"] == 64
+    assert vocab[b2u[ord(" ")]] == 220          # 'Ġ'
+    merges = [tuple(l.split()) for l in fixture.read_text().splitlines()[1:]]
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    assert vocab["Ġt"] == 256 and vocab["Ġthe"] == 262
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    shutil.copy(fixture, tmp_path / "merges.txt")
+
+    tok = tokenizers.GPT2BPE(str(tmp_path / "vocab.json"),
+                             str(tmp_path / "merges.txt"))
+    # pure byte symbols (no merges apply)
+    assert tok.encode("aA!~zZ") == [64, 32, 0, 93, 89, 57]
+    # ' the' == GPT-2 id 262, exactly
+    assert tok.encode(" the") == [262]
+    # 'that': merge 'a t'(#9) fires, 'th'/'h at' are beyond the slice
+    assert tok.encode("that") == [vocab["t"], vocab["h"], vocab["at"]]
+    assert tok.encode("that") == [83, 71, 265]
+    # ' at': 'Ġ a'(#1) outranks 'a t'(#9) -> [Ġa, t]
+    assert tok.encode(" at") == [257, 83]
+    # round-trip
+    for s in (" the", "that", " at the", "aA!~"):
+        assert tok.decode(tok.encode(s)) == s

@@ -120,3 +120,39 @@ def test_tensor_parallel_matches_single_device(tiny):
                if "model" in str(x.sharding.spec)]
     assert any("q_proj" in s for s in sharded)
     assert any("down_proj" in s for s in sharded)
+
+
+def test_llama_moe_mlp():
+    """LlamaConfig.moe_experts>0 swaps the SwiGLU for a routed MoE: finite
+    loss including the balancing aux, grads to experts and router, and the
+    cached decode still matches the full forward."""
+    # generous capacity: fixed-capacity MoE couples tokens per dispatch, so
+    # prefill(T=7)/full(T=8) caps differ and drops would break exact parity
+    cfg = llama.tiny_llama_config(moe_experts=4, moe_k=2, moe_capacity=8.0)
+    lm = llama.Llama(cfg)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    params = lm.init(jax.random.key(0), idx)
+    layers = params["params"]["layers"]
+    assert "moe" in layers and "gate_proj" not in layers
+    assert layers["moe"]["w1"].shape == (2, 4, 32, 64)   # [L, E, D, H]
+
+    def loss_fn(p):
+        loss, _ = lm.apply(p, idx, targets=idx)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g = grads["params"]["layers"]["moe"]
+    assert all(np.abs(np.asarray(x)).sum() > 0 for x in (g["w1"], g["wg"]))
+
+    # cached decode parity with the full forward
+    _, logits_full = lm.apply(params, idx)
+    cache = llama.init_llama_cache(cfg, 2, 16)
+    logits_pre, cache, length = lm.apply(params, idx[:, :-1], None, cache,
+                                         method=llama.Llama.prefill)
+    logits_step, _, _ = lm.apply(params, idx[:, -1], cache, length,
+                                 method=llama.Llama.decode_step)
+    np.testing.assert_allclose(np.asarray(logits_step),
+                               np.asarray(logits_full[:, -1]),
+                               atol=2e-4, rtol=2e-4)

@@ -92,3 +92,49 @@ def test_ring_rejects_indivisible_sequence():
     q = jnp.zeros((1, 60, 1, 8))
     with pytest.raises(ValueError):
         ra.ring_attention_sharded(mesh, q, q, q)
+
+
+def test_encoder_seq_parallel_matches_single_device():
+    """MAEConfig.seq_parallel routes the Encoder's slab attention through
+    ring attention when a 'seq' mesh is active — output must match the
+    single-device encoder (same params) to fp tolerance."""
+    from frankenstein_tpu.config import MAEConfig
+    from frankenstein_tpu.models.brainformer import Encoder
+
+    cfg = MAEConfig(window_size=32, n_electrodes=8, patch_size=8, dim=32,
+                    n_layers=2, head_dim=8, hidden_dim=64, n_heads=4,
+                    n_kv_heads=4, seq_parallel=True)
+    model = Encoder(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 8)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+
+    ref = model.apply(params, x)                  # no mesh -> normal path
+    with seq_mesh(8):
+        out = jax.jit(model.apply)(params, x)     # ring path over 8 shards
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_encoder_seq_parallel_grads_match():
+    from frankenstein_tpu.config import MAEConfig
+    from frankenstein_tpu.models.brainformer import Encoder
+
+    cfg = MAEConfig(window_size=32, n_electrodes=8, patch_size=8, dim=32,
+                    n_layers=1, head_dim=8, hidden_dim=64, n_heads=4,
+                    n_kv_heads=4, seq_parallel=True)
+    model = Encoder(cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 8)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+
+    def loss(p, x):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    g_ref = jax.grad(loss)(params, x)
+    with seq_mesh(8):
+        g_sp = jax.jit(jax.grad(loss))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)

@@ -25,7 +25,7 @@ def make_spec(name, cfg, dtype, window: int = 768):
     from frankenstein_tpu.train.trainer import TrainableSpec
     from frankenstein_tpu.utils import profiling
 
-    if name == "franky":
+    if name in ("franky", "moe-gpt"):
         from frankenstein_tpu.models.franky import Franky
         return TrainableSpec(
             module=Franky(cfg, dtype=dtype), needs_train_flag=True,
@@ -63,11 +63,15 @@ def config_from_args(args):
                                          SimpleMAEConfig, VQVAEConfig)
     mae_cfg = MAEConfig(window_size=args.window, n_electrodes=args.channels,
                         patch_size=args.patch)
-    if args.model == "franky":
+    if args.model in ("franky", "moe-gpt"):
+        # moe-gpt: the flagship with every GPT block's MLP swapped for a
+        # top-k-routed MoE, experts sharded over the 'model' mesh axis
+        moe = args.moe_experts if args.model == "moe-gpt" else 0
         return FrankyConfig(
             brain=PerceiverConfig(encoder=mae_cfg, n_output_tokens=32,
                                   output_dim=768),
-            gpt=GPTConfig(dropout=args.dropout))
+            gpt=GPTConfig(dropout=args.dropout, moe_experts=moe,
+                          moe_k=args.moe_k))
     if args.model == "mae":
         return mae_cfg
     if args.model == "brainformer":
@@ -84,6 +88,7 @@ def config_from_args(args):
 
 MODEL_CONFIG_CLASSES = {
     "franky": "FrankyConfig",
+    "moe-gpt": "FrankyConfig",
     "mae": "MAEConfig",
     "brainformer": "PerceiverConfig",
     "vqvae": "VQVAEConfig",
@@ -115,11 +120,11 @@ def build_model(args):
         name, cfg = config_from_yaml(doc)
         args.model = name
         # geometry for the data pipeline follows the YAML model
-        if name in ("franky", "brainformer"):
-            args.window = cfg.brain.encoder.window_size if name == "franky" \
-                else cfg.encoder.window_size
-            args.channels = cfg.brain.encoder.n_electrodes if name == "franky" \
-                else cfg.encoder.n_electrodes
+        if name in ("franky", "moe-gpt", "brainformer"):
+            args.window = cfg.brain.encoder.window_size \
+                if name != "brainformer" else cfg.encoder.window_size
+            args.channels = cfg.brain.encoder.n_electrodes \
+                if name != "brainformer" else cfg.encoder.n_electrodes
         elif name == "mae":
             args.window, args.channels = cfg.window_size, cfg.n_electrodes
         elif name == "vqvae":
@@ -157,8 +162,12 @@ def main():
                    help="YAML config (see configs/); explicitly passed CLI "
                         "flags override its train section")
     p.add_argument("--model", default="franky",
-                   choices=["franky", "mae", "brainformer", "vqvae",
-                            "simple_mae"])
+                   choices=["franky", "moe-gpt", "mae", "brainformer",
+                            "vqvae", "simple_mae"])
+    p.add_argument("--moe-experts", type=int, default=8,
+                   help="expert count for --model moe-gpt")
+    p.add_argument("--moe-k", type=int, default=2,
+                   help="experts routed per token for --model moe-gpt")
     p.add_argument("--data", default="synthetic",
                    help="'synthetic' or path to competitionData/")
     p.add_argument("--exp-name", default=None)
