@@ -37,3 +37,18 @@ def prefetch(iterator: Iterator, buffer_size: int = 2) -> Iterator:
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def to_device(iterator: Iterator) -> Iterator:
+    """Map ``jax.device_put`` over an iterator of (pytrees of) host arrays.
+
+    Composed INSIDE ``prefetch`` (i.e. ``prefetch(to_device(it))``), the
+    host->device copy of batch N+1 runs in the prefetch thread while the
+    training step for batch N computes — device transfers leave the step
+    dispatch path entirely. device_put is itself asynchronous, so the
+    thread merely *initiates* copies early; a bounded queue (buffer_size)
+    caps how much device memory the staged batches can pin."""
+    import jax
+
+    for item in iterator:
+        yield jax.device_put(item)

@@ -43,9 +43,12 @@ def ambient_seq_mesh() -> Optional[Mesh]:
     ``'seq'`` axis (trace-time decision; None otherwise). Lets model code
     opt into sequence parallelism (``MAEConfig.seq_parallel``) without
     threading a Mesh through module attributes."""
-    from jax.interpreters import pxla
+    try:  # moved in JAX 0.8.2; the pxla re-export warns and will be removed
+        from jax._src.mesh import thread_resources
+    except ImportError:  # pragma: no cover — older JAX
+        from jax.interpreters.pxla import thread_resources
 
-    mesh = pxla.thread_resources.env.physical_mesh
+    mesh = thread_resources.env.physical_mesh
     if mesh is not None and not getattr(mesh, "empty", True) \
             and SEQ_AXIS in mesh.axis_names:
         return mesh

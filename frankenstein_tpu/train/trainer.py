@@ -236,9 +236,14 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     (save_dir / "train_config.json").write_text(config.to_json())
 
     logger = MetricLogger(save_dir / "metrics.jsonl", project=project_name)
-    from frankenstein_tpu.data.loader import prefetch
-    train_iter = prefetch(batch_iterator(train_ds, config.batch_size,
-                                         shuffle=True, seed=config.seed))
+    from frankenstein_tpu.data.loader import prefetch, to_device
+    # device_put INSIDE the prefetch thread: the host->device copy of the
+    # next batch overlaps the current step's compute instead of blocking
+    # the dispatch (on a slow host link — e.g. this harness's ~87 MB/s
+    # tunnel — the copy would otherwise dominate the step wall-clock)
+    train_iter = prefetch(to_device(
+        batch_iterator(train_ds, config.batch_size,
+                       shuffle=True, seed=config.seed)))
 
     sample = next(iter(batch_iterator(train_ds, min(config.batch_size, 8),
                                       shuffle=False, epochs=1)))

@@ -198,3 +198,28 @@ def test_gpt2_bpe_golden_real_merges_head(tmp_path):
     # round-trip
     for s in (" the", "that", " at the", "aA!~"):
         assert tok.decode(tok.encode(s)) == s
+
+
+def test_prefetch_to_device_pipeline():
+    """prefetch(to_device(it)) yields device arrays in order, propagates
+    exceptions, and terminates — the trainer's input pipeline contract
+    (the device copy of batch N+1 overlaps step N's compute)."""
+    import jax
+    from frankenstein_tpu.data.loader import prefetch, to_device
+
+    batches = [{"x": np.full((2, 3), i, np.float32), "i": np.int32(i)}
+               for i in range(5)]
+    out = list(prefetch(to_device(iter(batches)), buffer_size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("loader died")
+
+    it = prefetch(to_device(boom()))
+    next(it)
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(it)
