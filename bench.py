@@ -40,9 +40,14 @@ import numpy as np
 
 # headline serving config (best measured config of the
 # {128, 256} x {bf16, int8_kv} sweep — see BASELINE.md round-3 table;
-# int8_kv quantization drift is property-tested at <5% of logit range)
+# int8_kv quantization drift is property-tested at <5% of logit range).
+# int8 WEIGHTS (w8a16: per-(layer, out-lane) scales, exact dequant after
+# each dot) measured the fastest decode config on v5e — 33.78 vs 36.34
+# ms/batch bf16 at b=128 (tools/w8_probe.py, BASELINE.md) — so the headline
+# serves w8a16 by default; BENCH_W8=0 reverts to bf16 weights.
 HEADLINE_BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 HEADLINE_INT8_KV = os.environ.get("BENCH_INT8_KV", "0") == "1"
+HEADLINE_W8 = os.environ.get("BENCH_W8", "1") == "1"
 
 _PARAMS = [None]
 
@@ -91,7 +96,7 @@ def _bench(fn, n_iters, key0=100, repeats=2):
 
 
 def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
-         with_baseline: bool = True) -> dict:
+         int8_weights: bool = HEADLINE_W8, with_baseline: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -124,7 +129,7 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
         prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
                                  max_new_tokens=max_new, top_k=10,
-                                 int8_kv=int8_kv)
+                                 int8_kv=int8_kv, int8_weights=int8_weights)
 
     encode_s = _bench(encode_fn, 8)
     decode_s = _bench(decode_fn, 8)
@@ -138,6 +143,7 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
     cache_len = sampling._round_cache_len(1 + 32 + max_new + 1)
     decode_bytes = profiling.gpt_decode_hbm_bytes(
         cfg.gpt, batch, cache_len, max_new,
+        weight_bytes=1 if int8_weights else 2,
         cache_bytes=1 if int8_kv else 2)
     decode_hbm_util = decode_bytes / decode_s / profiling.detect_hbm_bw()
 
@@ -151,6 +157,7 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
         "decode_hbm_util": round(decode_hbm_util, 3),
         "batch": batch,
         "int8_kv": int8_kv,
+        "int8_weights": int8_weights,
         "max_new_tokens": max_new,
         "device": str(jax.devices()[0].device_kind),
     }
@@ -190,7 +197,10 @@ def _sweep():
                         (256, False), (256, True)]:
         print(f"[sweep] batch={batch} int8_kv={int8}", file=sys.stderr,
               flush=True)
-        rows.append(main(batch=batch, int8_kv=int8, with_baseline=False))
+        # weights stay bf16 across the sweep so rows isolate the KV/batch
+        # axes and stay comparable to the BASELINE.md round-3 table
+        rows.append(main(batch=batch, int8_kv=int8, int8_weights=False,
+                         with_baseline=False))
     print(json.dumps({"sweep": rows}), flush=True)
 
 

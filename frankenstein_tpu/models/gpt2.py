@@ -251,12 +251,28 @@ class GPT(nn.Module):
     def prefill(self, idx, prefix, cache):
         """Run the prefix + initial tokens once, filling the cache.
 
-        Returns (logits_last [B, vocab], cache, length)."""
+        Returns (logits_last [B, vocab], cache, length). ``cache`` supplies
+        the decode-width S and dtype; its contents are ignored.
+
+        TPU shape note: the blocks run against a cache sized to THIS
+        segment's t positions, widened to S by one pad at the end — NOT
+        against the S-row decode cache. DUS-ing each layer's K/V into the
+        wide cache inside the scan made every layer pay a [B, t, E] -> S-row
+        pad plus layout-retiling copies of both cache operands, and priced
+        attention at S key columns instead of t (optimized-HLO cost model,
+        tools/prefill_probe.py: ~0.25 ms/layer of pure data movement at
+        b=128, t=33, S=59). With a t-sized cache the per-layer DUS covers
+        the whole buffer and XLA elides it."""
         x = self._embed(idx, prefix)
-        x, cache, _ = self._run_blocks(x, cache, jnp.int32(0))
+        b, t = x.shape[0], x.shape[1]
+        small = init_cache(self.cfg, b, t, dtype=cache[0].dtype)
+        x, small, _ = self._run_blocks(x, small, jnp.int32(0))
         x = self.ln_f(x[:, -1:])
         logits = self._lm_head(x)[:, 0]
-        return logits, cache, jnp.int32(x_len(idx, prefix))
+        s = cache[0].shape[2]
+        widen = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, s - t), (0, 0)))
+        return (logits, (widen(small[0]), widen(small[1])),
+                jnp.int32(x_len(idx, prefix)))
 
     def _decode_blocks(self, x, cache, length, qweights=None):
         """Run all blocks for ONE position. x: [B, 1, E] -> (x, cache).

@@ -148,6 +148,12 @@ def make_train_step(spec: TrainableSpec, tx, config: TrainConfig):
                 for h, name in enumerate(spec.rng_names)}
 
     def train_step(state: TrainState, batch, rng):
+        # ``rng`` is a BASE key: the per-step key derives from state.step
+        # INSIDE the jit. The host loop passes the same key object every
+        # step, so there is no per-step host-side jax.random.split — on a
+        # remote-dispatch backend (axon tunnel) that split alone costs a
+        # ~33 ms dispatch per step.
+        rng = jax.random.fold_in(rng, state.step)
         if config.p_augs > 0.0:
             rng, aug_rng = jax.random.split(rng)
             batch = augment_batch(batch, aug_rng, config.p_augs)
@@ -273,45 +279,68 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
 
     rng = jax.random.key(config.seed)
     best_val = float("inf")
+    # ONE device fetch to learn the resume point; from here the loop keeps a
+    # host-side counter. int(state.step)/float(loss) every step would cost
+    # two synchronous tunnel round trips per step on a remote TPU — measured
+    # 1.23 s/step vs ~0.3 s of device compute on this harness's axon link.
+    step = int(state.step)
     t0 = time.perf_counter()
-    tokens_seen = 0
+    tokens_seen = 0     # samples since the timing origin (post-warmup)
+    steps_timed = 0     # steps since the timing origin
+    warmed_up = False   # first step includes compile — excluded from rates
 
+    def _check_finite(loss_f: float):
+        # failure detection: a NaN/inf loss poisons every later step — stop
+        # loudly instead of silently training garbage. Checked at every loss
+        # FETCH (log steps + loop end): a non-finite loss persists, so
+        # detection latency is <= log_interval steps and the loop never pays
+        # a per-step device sync for it.
+        if not np.isfinite(loss_f):
+            logger.log(step, {"train/loss": loss_f, "fatal": 1.0})
+            raise FloatingPointError(
+                f"non-finite train loss at step {step}: {loss_f}")
+
+    loss = None
     with mesh:
         for batch in train_iter:
-            step = int(state.step)
             if step > config.max_steps:
                 break
-            rng, step_rng = jax.random.split(rng)
             sharded = mesh_lib.shard_batch(mesh, batch)
-            state, loss, aux = train_step(state, sharded, step_rng)
+            state, loss, aux = train_step(state, sharded, rng)
+            step += 1
+            if not warmed_up:
+                # value fetch = the only real sync on axon; restart the
+                # timing origin so compile time never pollutes MFU
+                _check_finite(float(loss))
+                warmed_up = True
+                t0 = time.perf_counter()
+                tokens_seen = 0
+                steps_timed = 0
+                continue
             tokens_seen += batch[0].shape[0]
-            step = int(state.step)
-
-            # failure detection: a NaN/inf loss poisons every later step —
-            # stop loudly instead of silently training garbage
-            if not np.isfinite(float(loss)):
-                logger.log(step, {"train/loss": float(loss), "fatal": 1.0})
-                raise FloatingPointError(
-                    f"non-finite train loss at step {step}: {float(loss)}")
+            steps_timed += 1
 
             if step % config.log_interval == 0:
+                loss_f = float(loss)
+                _check_finite(loss_f)
                 dt = time.perf_counter() - t0
                 metrics = {
-                    "train/loss": float(loss),
+                    "train/loss": loss_f,
                     "lr": float(sched(step)),
                     "grad_norm": float(aux.get("grad_norm", 0.0)),
                     "samples_per_sec": tokens_seen / max(dt, 1e-9),
                     **{k: float(v) for k, v in aux.items() if k != "grad_norm"},
                 }
-                if spec.flops_per_sample:
+                if spec.flops_per_sample and steps_timed:
                     from frankenstein_tpu.utils import profiling
                     # fwd+bwd ~ 3x fwd FLOPs (PaLM App. B convention)
                     metrics["mfu"] = profiling.estimate_mfu(
-                        3 * spec.flops_per_sample * tokens_seen / max(step, 1),
-                        dt / max(step, 1))
+                        3 * spec.flops_per_sample * tokens_seen / steps_timed,
+                        dt / steps_timed)
                 logger.log(step, metrics)
 
             if step % config.eval_interval == 0:
+                eval_t0 = time.perf_counter()
                 val_losses = []
                 for vb in batch_iterator(val_ds, config.batch_size,
                                          shuffle=False, epochs=1):
@@ -330,4 +359,9 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                                              keep=config.keep_checkpoints)
                 if hooks:
                     hooks(state, step)
+                # eval + checkpointing are not training throughput — keep
+                # them out of the samples/sec + MFU clock
+                t0 += time.perf_counter() - eval_t0
+        if loss is not None:
+            _check_finite(float(loss))
     return state
