@@ -324,6 +324,14 @@ class TrainConfig(_SerializableMixin):
     log_interval: int = 10
     keep_checkpoints: int = 3
 
+    # optimizer steps executed inside ONE dispatched program (a lax.scan
+    # over step-stacked batches). >1 amortizes the fixed per-dispatch cost
+    # of a remote/tunneled TPU and removes per-step host round trips;
+    # logging/eval cadence is preserved (boundaries checked per dispatch).
+    # Numerics match the single-step loop to f32 reassociation tolerance
+    # (property-tested; the rng stream is identical).
+    steps_per_dispatch: int = 1
+
     # mesh geometry: data x model
     mesh_shape: Optional[tuple] = None   # None => (n_devices, 1)
 

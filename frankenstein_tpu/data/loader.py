@@ -39,6 +39,23 @@ def prefetch(iterator: Iterator, buffer_size: int = 2) -> Iterator:
         yield item
 
 
+def stack_steps(iterator: Iterator, k: int) -> Iterator:
+    """Group ``k`` consecutive host batches into one step-stacked batch —
+    every leaf gains a leading [k] axis (np.stack). Composed BEFORE
+    ``to_device`` so stacking stays a cheap host memcpy; the trainer's
+    steps_per_dispatch scan consumes the result. A trailing partial group
+    (end of a finite iterator) is dropped, mirroring drop_last batching."""
+    import jax
+    import numpy as np
+
+    buf = []
+    for item in iterator:
+        buf.append(item)
+        if len(buf) == k:
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf)
+            buf = []
+
+
 def to_device(iterator: Iterator) -> Iterator:
     """Map ``jax.device_put`` over an iterator of (pytrees of) host arrays.
 

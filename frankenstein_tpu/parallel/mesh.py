@@ -43,18 +43,20 @@ def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Batch dim over the data axis (``batch_axis=1`` for step-stacked
+    [K, B, ...] multi-step batches — see trainer steps_per_dispatch)."""
+    return NamedSharding(mesh, P(*((None,) * batch_axis + (DATA_AXIS,))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Put a host batch (pytree of arrays) onto the mesh, sharded on dim 0."""
-    s = batch_sharding(mesh)
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Put a host batch (pytree of arrays) onto the mesh, sharded on the
+    batch dim (axis ``batch_axis``)."""
+    s = batch_sharding(mesh, batch_axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -140,7 +140,14 @@ def _forward(spec: TrainableSpec, params, extra, batch, rngs, *, train: bool):
     return loss, new_extra, aux
 
 
-def make_train_step(spec: TrainableSpec, tx, config: TrainConfig):
+def make_train_step(spec: TrainableSpec, tx, config: TrainConfig,
+                    n_steps: int = 1):
+    """Build the jitted step. With ``n_steps > 1`` the returned function
+    takes STEP-STACKED batches ([n_steps, B, ...] leaves) and runs that many
+    optimizer steps inside one dispatched ``lax.scan`` — same numerics as
+    n_steps separate calls (each inner step folds its rng from state.step),
+    but one dispatch + zero host round trips for the whole group. Returns
+    the LAST step's (loss, aux), matching what the single-step loop logs."""
     accum = max(config.grad_accum, 1)
 
     def split_rngs(rng, i):
@@ -203,7 +210,18 @@ def make_train_step(spec: TrainableSpec, tx, config: TrainConfig):
         gnorm = optax.global_norm(grads)
         return new_state, loss, {"grad_norm": gnorm, **aux}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if n_steps == 1:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def multi_step(state: TrainState, batches, rng):
+        def body(st, b):
+            st, loss, aux = train_step(st, b, rng)
+            return st, (loss, aux)
+        state, (losses, auxs) = jax.lax.scan(body, state, batches)
+        last = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+        return state, losses[-1], last
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_eval_step(spec: TrainableSpec):
@@ -242,14 +260,17 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     (save_dir / "train_config.json").write_text(config.to_json())
 
     logger = MetricLogger(save_dir / "metrics.jsonl", project=project_name)
-    from frankenstein_tpu.data.loader import prefetch, to_device
+    from frankenstein_tpu.data.loader import prefetch, stack_steps, to_device
     # device_put INSIDE the prefetch thread: the host->device copy of the
     # next batch overlaps the current step's compute instead of blocking
     # the dispatch (on a slow host link — e.g. this harness's ~87 MB/s
     # tunnel — the copy would otherwise dominate the step wall-clock)
-    train_iter = prefetch(to_device(
-        batch_iterator(train_ds, config.batch_size,
-                       shuffle=True, seed=config.seed)))
+    k_steps = max(config.steps_per_dispatch, 1)
+    host_iter = batch_iterator(train_ds, config.batch_size,
+                               shuffle=True, seed=config.seed)
+    if k_steps > 1:
+        host_iter = stack_steps(host_iter, k_steps)
+    train_iter = prefetch(to_device(host_iter))
 
     sample = next(iter(batch_iterator(train_ds, min(config.batch_size, 8),
                                       shuffle=False, epochs=1)))
@@ -273,7 +294,7 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     else:
         state = mesh_lib.replicate(mesh, state)
 
-    train_step = make_train_step(spec, tx, config)
+    train_step = make_train_step(spec, tx, config, n_steps=k_steps)
     eval_step = make_eval_step(spec)
     _, sched = make_optimizer(config)
 
@@ -300,14 +321,22 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
             raise FloatingPointError(
                 f"non-finite train loss at step {step}: {loss_f}")
 
+    def crossed(interval: int) -> bool:
+        # "step hit a multiple of interval inside this dispatch group" —
+        # reduces to step % interval == 0 when k_steps == 1
+        return (step // interval) > ((step - k_steps) // interval)
+
     loss = None
     with mesh:
         for batch in train_iter:
             if step > config.max_steps:
                 break
-            sharded = mesh_lib.shard_batch(mesh, batch)
+            sharded = mesh_lib.shard_batch(
+                mesh, batch, batch_axis=1 if k_steps > 1 else 0)
             state, loss, aux = train_step(state, sharded, rng)
-            step += 1
+            step += k_steps
+            samples_in = (batch[0].shape[0] if k_steps == 1
+                          else k_steps * batch[0].shape[1])
             if not warmed_up:
                 # value fetch = the only real sync on axon; restart the
                 # timing origin so compile time never pollutes MFU
@@ -317,10 +346,10 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                 tokens_seen = 0
                 steps_timed = 0
                 continue
-            tokens_seen += batch[0].shape[0]
-            steps_timed += 1
+            tokens_seen += samples_in
+            steps_timed += k_steps
 
-            if step % config.log_interval == 0:
+            if crossed(config.log_interval):
                 loss_f = float(loss)
                 _check_finite(loss_f)
                 dt = time.perf_counter() - t0
@@ -339,7 +368,7 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                         dt / steps_timed)
                 logger.log(step, metrics)
 
-            if step % config.eval_interval == 0:
+            if crossed(config.eval_interval):
                 eval_t0 = time.perf_counter()
                 val_losses = []
                 for vb in batch_iterator(val_ds, config.batch_size,

@@ -174,6 +174,10 @@ def main():
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps per dispatched program (scan over "
+                        "step-stacked batches; amortizes per-dispatch cost "
+                        "on remote TPUs, identical numerics)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--wd-mask", action="store_true",
@@ -210,6 +214,7 @@ def main():
     cli_values = dict(
         exp_name=args.exp_name or f"{args.model}_{args.data.split('/')[-1]}",
         batch_size=args.batch_size, grad_accum=args.grad_accum,
+        steps_per_dispatch=args.steps_per_dispatch,
         learning_rate=args.lr, weight_decay=args.weight_decay,
         weight_decay_mask=args.wd_mask, p_augs=args.p_augs,
         max_steps=args.steps, eval_interval=args.eval_interval,
@@ -220,7 +225,9 @@ def main():
         import sys
         flag_to_field = {
             "exp_name": "exp_name", "batch_size": "batch_size",
-            "grad_accum": "grad_accum", "lr": "learning_rate",
+            "grad_accum": "grad_accum",
+            "steps_per_dispatch": "steps_per_dispatch",
+            "lr": "learning_rate",
             "weight_decay": "weight_decay", "wd_mask": "weight_decay_mask",
             "p_augs": "p_augs", "steps": "max_steps",
             "eval_interval": "eval_interval", "warmup": "warmup_iters",
