@@ -144,7 +144,8 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
     decode_bytes = profiling.gpt_decode_hbm_bytes(
         cfg.gpt, batch, cache_len, max_new,
         weight_bytes=1 if int8_weights else 2,
-        cache_bytes=1 if int8_kv else 2)
+        lm_head_bytes=2,   # w8a16 quantizes block weights only; the tied
+        cache_bytes=1 if int8_kv else 2)  # lm_head streams bf16 every step
     decode_hbm_util = decode_bytes / decode_s / profiling.detect_hbm_bw()
 
     result = {

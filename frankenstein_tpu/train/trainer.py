@@ -244,7 +244,8 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                     resume: bool = False) -> TrainState:
     """Step-based training loop (reference:utils/train_utils.py:93-186):
     infinite epochs over the train loader, eval every ``eval_interval`` steps,
-    best-val checkpoint, stop past ``max_steps``.
+    best-val checkpoint, stop at ``max_steps`` (a multi-step dispatch group
+    cannot stop mid-group, so overshoot is < config.steps_per_dispatch).
 
     ``eval_metric(state, step) -> float``: when given, checkpoint selection
     uses this (lower is better) instead of the val loss — e.g. a WER hook,
@@ -329,25 +330,27 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     loss = None
     with mesh:
         for batch in train_iter:
-            if step > config.max_steps:
+            if step >= config.max_steps:
+                # a multi-step dispatch cannot stop mid-group, so the loop
+                # stops once the counter REACHES max_steps — overshoot is
+                # bounded by k_steps - 1, never a whole extra group
                 break
             sharded = mesh_lib.shard_batch(
                 mesh, batch, batch_axis=1 if k_steps > 1 else 0)
             state, loss, aux = train_step(state, sharded, rng)
             step += k_steps
-            samples_in = (batch[0].shape[0] if k_steps == 1
-                          else k_steps * batch[0].shape[1])
             if not warmed_up:
                 # value fetch = the only real sync on axon; restart the
-                # timing origin so compile time never pollutes MFU
+                # timing origin so compile time never pollutes MFU. The
+                # log/eval boundary checks below STILL run for this group
+                # (a boundary inside the first dispatch must not vanish).
                 _check_finite(float(loss))
                 warmed_up = True
                 t0 = time.perf_counter()
-                tokens_seen = 0
-                steps_timed = 0
-                continue
-            tokens_seen += samples_in
-            steps_timed += k_steps
+            else:
+                tokens_seen += (batch[0].shape[0] if k_steps == 1
+                                else k_steps * batch[0].shape[1])
+                steps_timed += k_steps
 
             if crossed(config.log_interval):
                 loss_f = float(loss)
@@ -357,9 +360,10 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                     "train/loss": loss_f,
                     "lr": float(sched(step)),
                     "grad_norm": float(aux.get("grad_norm", 0.0)),
-                    "samples_per_sec": tokens_seen / max(dt, 1e-9),
                     **{k: float(v) for k, v in aux.items() if k != "grad_norm"},
                 }
+                if steps_timed:  # rate meters undefined inside the warm-up
+                    metrics["samples_per_sec"] = tokens_seen / max(dt, 1e-9)
                 if spec.flops_per_sample and steps_timed:
                     from frankenstein_tpu.utils import profiling
                     # fwd+bwd ~ 3x fwd FLOPs (PaLM App. B convention)
@@ -369,6 +373,10 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                 logger.log(step, metrics)
 
             if crossed(config.eval_interval):
+                # drain the in-flight train dispatch BEFORE starting the
+                # eval clock — otherwise its compute time is excluded from
+                # the throughput clock below and samples/sec reads high
+                _check_finite(float(loss))
                 eval_t0 = time.perf_counter()
                 val_losses = []
                 for vb in batch_iterator(val_ds, config.batch_size,

@@ -116,6 +116,7 @@ def franky_fwd_flops_per_sample(cfg) -> float:
 
 def gpt_decode_hbm_bytes(gcfg, batch: int, cache_len: int, n_tokens: int,
                          *, weight_bytes: int = 2, cache_bytes: int = 2,
+                         lm_head_bytes: int = None,
                          lm_head_every_step: bool = True) -> float:
     """Minimum HBM traffic (bytes) for ``n_tokens`` KV-cached GPT decode
     steps at batch ``batch`` — the roofline denominator for
@@ -126,10 +127,18 @@ def gpt_decode_hbm_bytes(gcfg, batch: int, cache_len: int, n_tokens: int,
     full allocated K/V cache (2 * L * B * cache_len * E) is read, and one
     row per layer is written. Activations are VMEM-resident in the fused
     kernel (ops/pallas/fused_decode.py) and don't count.
+
+    ``weight_bytes`` sizes the BLOCK weights; ``lm_head_bytes`` the tied
+    lm_head table (defaults to weight_bytes). They differ under w8a16:
+    quantize_decode_weights quantizes only the block-stack matmuls — the
+    lm_head still streams in the compute dtype every step.
     """
     e = gcfg.n_embd
+    if lm_head_bytes is None:
+        lm_head_bytes = weight_bytes
     block_w = gcfg.n_layer * 12 * e * e * weight_bytes
-    lm_head = e * gcfg.vocab_size * weight_bytes if lm_head_every_step else 0.0
+    lm_head = (e * gcfg.vocab_size * lm_head_bytes
+               if lm_head_every_step else 0.0)
     cache_read = 2 * gcfg.n_layer * batch * cache_len * e * cache_bytes
     cache_write = 2 * gcfg.n_layer * batch * e * cache_bytes
     return float(n_tokens) * (block_w + lm_head + cache_read + cache_write)

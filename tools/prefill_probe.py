@@ -6,7 +6,7 @@ simple roofline cost model: max(bytes / HBM_BW, flops / peak(dtype)). The
 tunnel's ~33 ms dispatch floor and ±2-5 ms loop-slice noise make wall-clock
 attribution at this scale useless; the HLO doesn't lie (see CLAUDE.md).
 
-Run: python tools/prefill_probe.py [--variant current|all]
+Run: python tools/prefill_probe.py [--top N] [--save]
 """
 
 import argparse
@@ -178,9 +178,6 @@ def main():
     max_len = 1 + 32 + max_new + 1
 
     def prefill_fn(params, prefix):
-        lm = {"params": params["params"]["llm_model"]}
-        gm = model.llm_model if hasattr(model, "llm_model") else None
-        # apply through the bound module for correctness
         def run(mdl):
             cache = gpt2.init_cache(c, b, max_len, dtype=jnp.bfloat16)
             return mdl.prefill(idx0, prefix, cache)
