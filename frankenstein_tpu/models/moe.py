@@ -59,7 +59,12 @@ class MoESwiGLU(nn.Module):
             # so the training-time factor would drop tokens a full forward
             # keeps and skew serving logits — make drops impossible instead
             cap = n_tok
-        xt = x.reshape(n_tok, d)
+        # enter the compute dtype HERE: callers hand over LayerNorm output,
+        # which is f32 even for bf16 models (f32 norm params promote), and
+        # everything downstream keys its dtype off xt — without this cast a
+        # bf16 model's residual stream silently promotes to f32, which also
+        # breaks the nn.scan carry-dtype contract in the GPT block stack
+        xt = x.reshape(n_tok, d).astype(self.dtype)
 
         # ---- router (always f32: tiny, numerically sensitive) --------------
         wg = self.param("wg", nn.initializers.normal(0.02), (d, e),

@@ -182,6 +182,43 @@ def test_moe_gpt_trains_on_mesh():
     assert losses[-1] < losses[0], losses
 
 
+def test_moe_gpt_bf16_forward():
+    """Regression: a bf16 MoE-GPT must keep its residual stream bf16.
+    MoESwiGLU receives LayerNorm output, which is f32 even in bf16 models
+    (f32 norm params promote) — before the entry cast, the MoE output came
+    back f32 and broke the nn.scan carry-dtype contract
+    ('carry input bfloat16[...] but output float32[...]') the first time
+    train.py --model moe-gpt ran with mixed precision on TPU."""
+    import train as train_cli
+    from frankenstein_tpu.config import (FrankyConfig, GPTConfig, MAEConfig,
+                                         PerceiverConfig, TrainConfig)
+    from frankenstein_tpu.train import trainer
+
+    cfg = FrankyConfig(
+        brain=PerceiverConfig(
+            encoder=MAEConfig(window_size=32, n_electrodes=8, patch_size=8,
+                              dim=16, n_layers=1, head_dim=8, hidden_dim=32,
+                              n_heads=2, n_kv_heads=2, n_dec_layers=1,
+                              decoder_dim=16),
+            n_output_tokens=4, output_dim=24, dim=16, n_layers=1,
+            head_dim=8, hidden_dim=32, n_heads=2, n_kv_heads=2),
+        gpt=GPTConfig(block_size=64, vocab_size=512, n_layer=2, n_head=2,
+                      n_embd=24, moe_experts=4, moe_k=2),
+        max_tokens=8, pad_token_id=511)
+    spec = train_cli.make_spec("moe-gpt", cfg, jnp.bfloat16, window=32)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3, warmup_iters=0,
+                       use_scheduler=False)
+    rng = np.random.default_rng(0)
+    batch = (rng.standard_normal((4, 32, 8)).astype(np.float32),
+             rng.integers(0, 500, (4, 8)).astype(np.int64),
+             np.zeros((4,), np.int32))
+    state, tx = trainer.init_state(spec, tcfg, batch)
+    step = trainer.make_train_step(spec, tx, tcfg)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    state, loss, _ = step(state, jb, jax.random.key(0))
+    assert np.isfinite(float(loss))
+
+
 def test_scanned_moe_ep_rules_and_parity():
     """Layer-scanned MoE stacks ([L, E, d, f]) shard on the EXPERT axis
     (dim 1); EP-sharded GPT-MoE forward == unsharded bit-for-bit."""
