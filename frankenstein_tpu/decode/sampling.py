@@ -55,12 +55,19 @@ def _round_cache_len(n: int, mult: int = 16) -> int:
     return -(-n // mult) * mult
 
 
-def _reorder(module, cache, flat_idx):
+def _reorder(module, cache, flat_idx, group: int = 0):
     """Gather cache rows to the surviving-beam order; the module owns its
-    cache layout (GPT stacks layers at axis 0, batch at axis 1)."""
+    cache layout (GPT stacks layers at axis 0, batch at axis 1).
+
+    ``group``: beam width when indices are guaranteed group-local (beam
+    parents never cross their sentence's w-row block) — modules may exploit
+    it (GPT routes to a streaming Pallas reorder on TPU)."""
     reorder = getattr(type(module), "reorder_cache", None)
     if reorder is not None:
-        return reorder(cache, flat_idx)
+        try:
+            return reorder(cache, flat_idx, group=group)
+        except TypeError:  # module's reorder_cache predates the group hint
+            return reorder(cache, flat_idx)
     return jax.tree_util.tree_map(lambda c: jnp.take(c, flat_idx, axis=0), cache)
 
 
@@ -290,7 +297,7 @@ def _beam_scan(module, params, logits, cache, length, b, *,
         token_flat = token.reshape(-1)
 
         # reorder cache + token history to the surviving beams
-        cache = _reorder(module, cache, flat_parent)
+        cache = _reorder(module, cache, flat_parent, group=w)
         toks = jnp.take(toks, flat_parent, axis=0)
         toks = toks.at[:, i].set(token_flat)
 
@@ -391,7 +398,7 @@ def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
         token_flat = jnp.take_along_axis(cand_tok.reshape(b, w * w),
                                          top_idx, axis=-1).reshape(-1)
 
-        cache = _reorder(module, cache, flat_parent)
+        cache = _reorder(module, cache, flat_parent, group=w)
         toks = jnp.take(toks, flat_parent, axis=0)
         toks = toks.at[:, i].set(token_flat)
 

@@ -59,5 +59,5 @@ class Franky(nn.Module):
         return self.llm_model.lm_head_table()
 
     @staticmethod
-    def reorder_cache(cache, flat_idx):
-        return GPT.reorder_cache(cache, flat_idx)
+    def reorder_cache(cache, flat_idx, group: int = 0):
+        return GPT.reorder_cache(cache, flat_idx, group=group)

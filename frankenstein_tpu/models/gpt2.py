@@ -372,15 +372,28 @@ class GPT(nn.Module):
         return vals, idx, logz, cache, length + 1
 
     @staticmethod
-    def reorder_cache(cache, flat_idx):
+    def reorder_cache(cache, flat_idx, group: int = 0):
         """Gather cache rows to new (beam) order; batch is axis 1 ([L, B, ...]).
-        QuantCache scales are per-(layer, lane) — no batch axis, no gather."""
+        QuantCache scales are per-(layer, lane) — no batch axis, no gather.
+
+        ``group > 0`` asserts the beam-search contract that indices never
+        cross their ``group``-row sentence block (row g*w + n gathers from
+        g*w + p with p < w): qualifying TPU geometries then reorder through
+        ONE streaming Pallas pass (ops/pallas/beam_reorder.py) instead of
+        XLA's gather + relayout, which measured ~10% of HBM bandwidth and
+        72% of the whole width-5 beam step at b=128 (BASELINE.md round 3)."""
+        from frankenstein_tpu.ops.pallas import beam_reorder as br
+        sides = (cache.k, cache.v) if isinstance(cache, QuantCache) \
+            else tuple(cache)
+        if group > 0 and all(br.supported(c, group) for c in sides):
+            local = flat_idx.astype(jnp.int32) % group
+            take = lambda c: br.beam_reorder(c, local, w=group)
+        else:
+            take = lambda c: jnp.take(c, flat_idx, axis=1)
         if isinstance(cache, QuantCache):
-            return QuantCache(jnp.take(cache.k, flat_idx, axis=1),
-                              jnp.take(cache.v, flat_idx, axis=1),
+            return QuantCache(take(cache.k), take(cache.v),
                               cache.k_scale, cache.v_scale)
-        return jax.tree_util.tree_map(
-            lambda c: jnp.take(c, flat_idx, axis=1), cache)
+        return jax.tree_util.tree_map(take, cache)
 
 
 def _fused_blocks(cfg: GPTConfig, h_params, x, cache, length,

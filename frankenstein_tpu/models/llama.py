@@ -209,9 +209,11 @@ class Llama(nn.Module):
         return self._head(x)[:, 0], cache, length + 1
 
     @staticmethod
-    def reorder_cache(cache, flat_idx):
-        return jax.tree_util.tree_map(
-            lambda c: jnp.take(c, flat_idx, axis=1), cache)
+    def reorder_cache(cache, flat_idx, group: int = 0):
+        """Beam-order gather; ``group`` routes group-local patterns through
+        the streaming Pallas reorder on TPU (ops/pallas/beam_reorder.py)."""
+        from frankenstein_tpu.models.gpt2 import GPT
+        return GPT.reorder_cache(cache, flat_idx, group=group)
 
 
 def init_llama_cache(cfg: LlamaConfig, batch: int, max_len: int,

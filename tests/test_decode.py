@@ -302,3 +302,44 @@ def test_beam_search_int8_kv_close_to_float():
                                      int8_kv=True)
     agree = float(np.mean(np.asarray(toks_f) == np.asarray(toks_q)))
     assert agree >= 0.6, agree
+
+
+def test_beam_reorder_kernel_matches_take():
+    """The Pallas grouped beam reorder (interpret mode) is exactly
+    jnp.take(axis=1) for group-local index patterns, for float and int8
+    caches and for tile sizes spanning one or several w-groups."""
+    from frankenstein_tpu.ops.pallas import beam_reorder as br
+
+    rng = np.random.default_rng(0)
+    for w, bw, dtype in [(5, 40, jnp.bfloat16), (4, 16, jnp.float32),
+                         (5, 40, jnp.int8)]:
+        l, s, e = 2, 16, 128
+        if dtype == jnp.int8:
+            cache = jnp.asarray(rng.integers(-127, 128, (l, bw, s, e)), dtype)
+        else:
+            cache = jnp.asarray(rng.standard_normal((l, bw, s, e)), dtype)
+        parent = rng.integers(0, w, (bw,))
+        flat = (np.arange(bw) // w) * w + parent
+        want = jnp.take(cache, jnp.asarray(flat), axis=1)
+        got = br.beam_reorder(cache, jnp.asarray(parent, jnp.int32), w=w,
+                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_reorder_cache_group_contract(tiny_gpt):
+    """GPT.reorder_cache(group=w) equals the plain gather (on CPU it routes
+    to the fallback; the contract must hold regardless of backend)."""
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(1)
+    w, b = 3, 4
+    bw = b * w
+    cache = gpt2.init_cache(cfg, bw, 16, jnp.float32)
+    cache = jax.tree_util.tree_map(
+        lambda c: jnp.asarray(rng.standard_normal(c.shape), c.dtype), cache)
+    parent = rng.integers(0, w, (bw,))
+    flat = jnp.asarray((np.arange(bw) // w) * w + parent)
+    want = jax.tree_util.tree_map(lambda c: jnp.take(c, flat, axis=1), cache)
+    got = gpt2.GPT.reorder_cache(cache, flat, group=w)
+    for a, bb in zip(jax.tree_util.tree_leaves(want),
+                     jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
