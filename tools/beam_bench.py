@@ -5,7 +5,7 @@ b=128 x beam_width=5 — 640 effective decode rows — with the same fori-loop
 differencing methodology as bench.py. greedy generate at b=128 prints
 alongside as the reference point.
 
-Run on the real TPU: python tools/beam_bench.py [beam_width]
+Run on the real TPU: python tools/beam_bench.py [beam_width] [--int8-kv]
 """
 
 import json
@@ -15,7 +15,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(beam_width: int = 5):
+def main(beam_width: int = 5, int8_kv: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,8 @@ def main(beam_width: int = 5):
         prefix = jax.random.normal(key, (b, 32, 768), jnp.float32)
         toks, scores = sampling.beam_search(
             model, params, idx0, prefix, max_new_tokens=max_new,
-            beam_width=beam_width, eos_id=GPT2_EOT, length_penalty=1.0)
+            beam_width=beam_width, eos_id=GPT2_EOT, length_penalty=1.0,
+            int8_kv=int8_kv)
         return scores
 
     def greedy_fn(params, key):
@@ -52,6 +53,7 @@ def main(beam_width: int = 5):
     greedy_s = bench._bench(greedy_fn, 6, key0=300)
     print(json.dumps({
         "beam_width": beam_width,
+        "int8_kv": int8_kv,
         "beam_ms_per_batch": round(beam_s * 1000, 1),
         "beam_ms_per_sentence": round(beam_s * 1000 / b, 3),
         "greedy_ms_per_batch": round(greedy_s * 1000, 1),
@@ -60,4 +62,5 @@ def main(beam_width: int = 5):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(args[0]) if args else 5, int8_kv="--int8-kv" in sys.argv[1:])
