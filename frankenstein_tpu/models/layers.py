@@ -112,7 +112,11 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
-                 positions=None, rope=None, impl="auto"):
+                 positions=None, rope=None, impl="auto", qk_int8=False):
+        """qk_int8 runs the slab QK score dot at the MXU's int8 rate
+        (serving-grade accuracy, exact bf16 gradients); it only takes
+        effect on the rope-fused Pallas path — every fallback silently
+        computes exact bf16."""
         b, t, _ = x.shape
         inner = self.n_heads * self.head_dim
         dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
@@ -140,7 +144,8 @@ class SelfAttention(nn.Module):
                     jnp.dtype(qf.dtype).itemsize):
                 out = attn_ops.slab_attention_rope_fused(
                     qf, kf, vf, n_heads=self.n_heads,
-                    tok_per_time=tok_per_time, rope_cache=rope)
+                    tok_per_time=tok_per_time, rope_cache=rope,
+                    qk_int8=qk_int8)
                 return dense(self.dim, "project")(out)
         q, k, v = qf.reshape(shape), kf.reshape(shape), vf.reshape(shape)
         if rope is not None:
@@ -209,7 +214,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
-                 positions=None, rope=None, impl="auto"):
+                 positions=None, rope=None, impl="auto", qk_int8=False):
         attn = SelfAttention(self.dim, self.n_heads, self.head_dim,
                              dtype=self.dtype, rope_align=self.rope_align,
                              name="attn")
@@ -217,7 +222,7 @@ class Block(nn.Module):
         x = x + attn(make_norm(self.norm, self.dim, "ln_1")(x),
                      mask=mask, mask_mode=mask_mode,
                      tok_per_time=tok_per_time, positions=positions,
-                     rope=rope, impl=impl)
+                     rope=rope, impl=impl, qk_int8=qk_int8)
         norm2 = make_norm(self.norm, self.dim, "ln_2")
         from frankenstein_tpu.ops.pallas import fused_mlp
         b, t, e = x.shape

@@ -103,7 +103,8 @@ def dot_product_attention(
 
 
 def slab_attention_rope_fused(q, k, v, *, n_heads: int, tok_per_time: int,
-                              rope_cache, impl: str = "auto") -> jnp.ndarray:
+                              rope_cache, impl: str = "auto",
+                              qk_int8: bool = False) -> jnp.ndarray:
     """Slab-causal attention over UNROTATED folded [B, T, E] q/k/v with RoPE
     applied inside the Pallas kernel (suffix-aligned decode semantics).
 
@@ -122,7 +123,8 @@ def slab_attention_rope_fused(q, k, v, *, n_heads: int, tok_per_time: int,
                 b, t, e, n_heads, tok_per_time,
                 jnp.dtype(q.dtype).itemsize, interpret=interp)):
         return block_attention.slab_causal_attention_rope(
-            q, k, v, tok_per_time, rope_cache, n_heads, interpret=interp)
+            q, k, v, tok_per_time, rope_cache, n_heads, interpret=interp,
+            qk_int8=qk_int8)
     from frankenstein_tpu.ops import rope as rope_ops
     d = e // n_heads
     r = lambda x: x.reshape(b, t, n_heads, d)
