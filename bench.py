@@ -48,6 +48,10 @@ import numpy as np
 HEADLINE_BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 HEADLINE_INT8_KV = os.environ.get("BENCH_INT8_KV", "0") == "1"
 HEADLINE_W8 = os.environ.get("BENCH_W8", "1") == "1"
+# int8 QK scores in the encoder's slab attention (MXU 2x int8 rate on the
+# dot that dominates the dot-bound encode; drift bounds in
+# tests/test_attention.py qk_int8 tests). BENCH_QK_INT8=0 reverts to bf16.
+HEADLINE_QK_INT8 = os.environ.get("BENCH_QK_INT8", "0") == "1"
 
 _PARAMS = [None]
 
@@ -96,7 +100,8 @@ def _bench(fn, n_iters, key0=100, repeats=2):
 
 
 def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
-         int8_weights: bool = HEADLINE_W8, with_baseline: bool = True) -> dict:
+         int8_weights: bool = HEADLINE_W8,
+         qk_int8: bool = HEADLINE_QK_INT8, with_baseline: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +111,7 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
     from frankenstein_tpu.decode.pipeline import cast_params_for_inference
     from frankenstein_tpu.utils import profiling
 
-    model, cfg = g._flagship()
+    model, cfg = g._flagship(qk_int8=qk_int8)
     max_new = cfg.max_tokens  # 25
     shape = (batch, cfg.brain.encoder.window_size,
              cfg.brain.encoder.n_electrodes)
@@ -159,6 +164,7 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
         "batch": batch,
         "int8_kv": int8_kv,
         "int8_weights": int8_weights,
+        "qk_int8": qk_int8,
         "max_new_tokens": max_new,
         "device": str(jax.devices()[0].device_kind),
     }

@@ -117,6 +117,16 @@ class MAEConfig(_SerializableMixin):
     # silently the normal single-chip paths (identical math either way).
     seq_parallel: bool = False
 
+    # int8 QK scores: run the encoder's slab QK dot at the MXU's 2x int8
+    # rate (Q quantized per (row, head), K per (chunk, head), exact dequant
+    # in the int32->f32 convert). Serving-grade accuracy, NOT bit-exact —
+    # drift bounds in tests/test_attention.py::test_rope_fused_qk_int8_*.
+    # Gradients are approximately straight-through (recomputed exact-bf16
+    # dots against the quantized forward's residuals). Only the rope-fused
+    # Pallas path honors it; fallbacks warn and compute exact bf16 (set
+    # FK_QK_INT8_STRICT=1 to raise instead).
+    qk_int8: bool = False
+
     @property
     def n_patches_per_channel(self) -> int:
         return self.window_size // self.patch_size

@@ -106,7 +106,7 @@ class Encoder(nn.Module):
                 impl = "ring"   # sequence-parallel slab attention over ICI
         for block in self.h:
             tok = block(tok, mask_mode="slab", tok_per_time=c.n_electrodes,
-                        rope=rope, impl=impl)
+                        rope=rope, impl=impl, qk_int8=c.qk_int8)
         return self.ln_f(tok)
 
     def forward_subset(self, patches, positions, rope_cache, date_info=None):

@@ -114,9 +114,14 @@ class SelfAttention(nn.Module):
     def __call__(self, x, *, mask=None, mask_mode=None, tok_per_time=0,
                  positions=None, rope=None, impl="auto", qk_int8=False):
         """qk_int8 runs the slab QK score dot at the MXU's int8 rate
-        (serving-grade accuracy, exact bf16 gradients); it only takes
-        effect on the rope-fused Pallas path — every fallback silently
-        computes exact bf16."""
+        (serving-grade accuracy; gradients are approximately
+        straight-through — the bwd recomputes exact bf16 dots against the
+        quantized forward's out/lse residuals, so softmax probabilities
+        don't renormalize and grads deviate from true bf16 grads by a
+        bound set by the quantization error, ~1.5% measured in interpret
+        mode). Only the rope-fused Pallas path honors it; fallbacks call
+        ``attn_ops.qk_int8_fallback`` (warn, or raise under
+        FK_QK_INT8_STRICT=1) and compute exact bf16."""
         b, t, _ = x.shape
         inner = self.n_heads * self.head_dim
         dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
@@ -147,6 +152,10 @@ class SelfAttention(nn.Module):
                     tok_per_time=tok_per_time, rope_cache=rope,
                     qk_int8=qk_int8)
                 return dense(self.dim, "project")(out)
+        if qk_int8:
+            attn_ops.qk_int8_fallback(
+                f"SelfAttention path is not rope-fused (mask_mode="
+                f"{mask_mode!r}, impl={impl!r}, b={b}, t={t})")
         q, k, v = qf.reshape(shape), kf.reshape(shape), vf.reshape(shape)
         if rope is not None:
             from frankenstein_tpu.ops import rope as rope_ops

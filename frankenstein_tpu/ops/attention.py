@@ -102,6 +102,21 @@ def dot_product_attention(
                           tok_per_time=tok_per_time)
 
 
+def qk_int8_fallback(reason: str) -> None:
+    """Signal that qk_int8 was requested but this call computes exact bf16.
+
+    A perf flag must not silently no-op (a benchmark could unknowingly
+    measure the bf16 fallback): warns once per call site by default; set
+    FK_QK_INT8_STRICT=1 to raise instead. Runs at trace time — the gates
+    are static, so a jitted model warns/raises exactly once per compile."""
+    import os
+    import warnings
+    msg = f"qk_int8 requested but computing exact bf16: {reason}"
+    if os.environ.get("FK_QK_INT8_STRICT", "0") == "1":
+        raise ValueError(msg)
+    warnings.warn(msg, stacklevel=3)
+
+
 def slab_attention_rope_fused(q, k, v, *, n_heads: int, tok_per_time: int,
                               rope_cache, impl: str = "auto",
                               qk_int8: bool = False) -> jnp.ndarray:
@@ -125,6 +140,11 @@ def slab_attention_rope_fused(q, k, v, *, n_heads: int, tok_per_time: int,
         return block_attention.slab_causal_attention_rope(
             q, k, v, tok_per_time, rope_cache, n_heads, interpret=interp,
             qk_int8=qk_int8)
+    if qk_int8:
+        qk_int8_fallback(
+            f"rope-fused gate rejected shape b={b} t={t} e={e} h={n_heads} "
+            f"tok_per_time={tok_per_time} impl={impl} "
+            f"backend={__import__('jax').default_backend()}")
     from frankenstein_tpu.ops import rope as rope_ops
     d = e // n_heads
     r = lambda x: x.reshape(b, t, n_heads, d)

@@ -1215,7 +1215,12 @@ def _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, *, block: int,
             jax.ShapeDtypeStruct((nb, npack, t), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * 2 * nb * len(i_arr) * qb * npack * chunk * d),
+            # the QK dot (half the MACs) runs at the MXU's 2x int8 rate, so
+            # count it at half weight so the scheduler hint stays comparable
+            # to the bf16 variant (intentionally approximate — the int8
+            # epilogue's extra VPU converts are not modeled)
+            flops=int((1.5 if qk_int8 else 2)
+                      * 2 * nb * len(i_arr) * qb * npack * chunk * d),
             bytes_accessed=int(4 * b * t * e * 4),
             transcendentals=int(nb * len(i_arr) * qb * npack * chunk),
         ),
@@ -1277,9 +1282,12 @@ def _slab_rope_attention_fwd(q, k, v, cos_pd, sin_pd, block, n_heads,
 def _slab_rope_attention_bwd(block, n_heads, interpret, qk_int8, res, do):
     """Backward: rotate with the cheap folded-layout XLA rope, run the
     per-head triangle bwd kernels, rotate dq/dk back by the inverse rotation
-    (R(-theta): same cos, negated sin). With qk_int8, the backward
-    recomputes through EXACT bf16 dots (straight-through estimator — the
-    int8 path is inference-oriented; grads see the unquantized function)."""
+    (R(-theta): same cos, negated sin). With qk_int8 the backward recomputes
+    EXACT bf16 scores but reuses the QUANTIZED forward's out/lse residuals,
+    so the softmax probabilities don't renormalize — approximately
+    straight-through gradients, deviation bounded by the quantization error
+    (~1.5% vs true bf16 grads, measured in interpret mode; the int8 path is
+    inference-oriented)."""
     from frankenstein_tpu.ops import rope as rope_ops
 
     q, k, v, cos_pd, sin_pd, out, lse4 = res
@@ -1317,8 +1325,11 @@ def slab_causal_attention_rope(q, k, v, tok_per_time: int, rope_cache,
 
     qk_int8: run the QK score dot at the MXU's int8 rate (Q quantized per
     (row, head), K per (chunk, head), exact dequant in the convert).
-    Serving-grade accuracy, not bit-exact — see the qk-int8 tolerance
-    tests; gradients flow through the exact bf16 backward."""
+    Serving-grade accuracy, not bit-exact — drift bounds in
+    tests/test_attention.py::test_rope_fused_qk_int8_forward_tolerance;
+    gradients are approximately straight-through (exact-bf16 recompute
+    against the quantized forward's residuals,
+    ::test_rope_fused_qk_int8_grad_tolerance)."""
     b, t, e = q.shape
     d = e // n_heads
     npack = PACK_LANES // d

@@ -402,3 +402,97 @@ def test_rope_fused_dispatch_falls_back_off_tpu():
                                           tok_per_time=p, impl="xla"
                                           ).reshape(b, t, e)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def _qk_int8_setup(seed=57, b=2, t=2048, h=8, d=32, p=256):
+    """Flagship-geometry (scaled-t) inputs for the qk_int8 drift tests.
+
+    Uses realistic activation magnitudes (unit-normal rows) — max-abs
+    symmetric int8 quantization drift is relative to the per-(row, head)
+    dynamic range, so these bounds transfer to the production shape."""
+    from frankenstein_tpu.ops import rope as rope_ops
+
+    rng = np.random.default_rng(seed)
+    e = h * d
+    assert block_attention.rope_fused_supported(b, t, e, h, p, 4,
+                                                interpret=True)
+    q = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.5
+    k = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.5
+    v = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.5
+    cache = rope_ops.build_rope_cache(d, t)
+    return q, k, v, cache, p, h
+
+
+def test_rope_fused_qk_int8_forward_tolerance():
+    """qk_int8=True vs exact (qk_int8=False) forward drift at slab geometry:
+    int8 symmetric max-abs QK quantization is serving-grade — outputs stay
+    within ~1e-2 absolute of the exact kernel on unit-scale activations
+    (the attention output is a convex combination of V rows, so output
+    error is bounded by the softmax-weight perturbation)."""
+    q, k, v, cache, p, h = _qk_int8_setup()
+    exact = block_attention.slab_causal_attention_rope(
+        q, k, v, p, cache, h, interpret=True)
+    quant = block_attention.slab_causal_attention_rope(
+        q, k, v, p, cache, h, interpret=True, qk_int8=True)
+    err = np.abs(np.asarray(quant) - np.asarray(exact))
+    assert float(err.max()) < 1e-2, f"max drift {err.max():.4g}"
+    assert float(err.mean()) < 1e-3, f"mean drift {err.mean():.4g}"
+    # and it must actually differ from the exact path (the int8 dot ran,
+    # not a silent bf16 fallback)
+    assert float(err.max()) > 0.0
+
+
+def test_rope_fused_qk_int8_grad_tolerance():
+    """qk_int8 gradients are approximately straight-through: the bwd
+    recomputes exact bf16 scores against the QUANTIZED forward's out/lse
+    residuals, so grads deviate from the true exact-path grads by a bound
+    set by the quantization error (~2e-2 relative at unit scale)."""
+    q, k, v, cache, p, h = _qk_int8_setup(seed=58, t=1024)
+    w = jnp.asarray(np.random.default_rng(59).standard_normal(q.shape),
+                    jnp.float32)
+
+    def loss(qk_int8):
+        def f(q, k, v):
+            o = block_attention.slab_causal_attention_rope(
+                q, k, v, p, cache, h, interpret=True, qk_int8=qk_int8)
+            return jnp.sum(o * w)
+        return f
+
+    g_exact = jax.grad(loss(False), (0, 1, 2))(q, k, v)
+    g_quant = jax.grad(loss(True), (0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_quant, g_exact):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        denom = np.abs(b_).max() + 1e-12
+        rel = np.abs(a - b_).max() / denom
+        assert rel < 2e-2, f"grad drift {rel:.4g}"
+
+
+def test_qk_int8_fallback_signals():
+    """qk_int8 on a non-qualifying path must WARN (and raise under
+    FK_QK_INT8_STRICT=1), never silently compute bf16 (ADVICE r3)."""
+    import warnings
+
+    from frankenstein_tpu.ops import rope as rope_ops
+
+    rng = np.random.default_rng(60)
+    b, t, h, d, p = 1, 512, 8, 32, 128
+    e = h * d
+    q = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.3
+    cache = rope_ops.build_rope_cache(d, t)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = attention.slab_attention_rope_fused(
+            q, q, q, n_heads=h, tok_per_time=p, rope_cache=cache,
+            qk_int8=True)  # CPU backend -> gate rejects -> fallback
+    assert out.shape == (b, t, e)
+    assert any("qk_int8" in str(w.message) for w in rec)
+
+    import os
+    os.environ["FK_QK_INT8_STRICT"] = "1"
+    try:
+        with pytest.raises(ValueError, match="qk_int8"):
+            attention.slab_attention_rope_fused(
+                q, q, q, n_heads=h, tok_per_time=p, rope_cache=cache,
+                qk_int8=True)
+    finally:
+        del os.environ["FK_QK_INT8_STRICT"]

