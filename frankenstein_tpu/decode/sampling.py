@@ -223,7 +223,8 @@ def _sample_scan_topk(module, params, logits, cache, length, rng, *,
 def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                 beam_width: int = 3, length_normalize: bool = False,
                 eos_id: Optional[int] = None, pad_id: Optional[int] = None,
-                length_penalty: float = 0.0, int8_kv: bool = False):
+                length_penalty: float = 0.0, int8_kv: bool = False,
+                int8_weights: bool = False):
     """Deterministic batched beam search (the behavior of
     reference:gpt2_model.py:415-454, vectorized) with EOS handling the
     reference lacks: when ``eos_id`` is given, a beam that emits it is FROZEN
@@ -248,7 +249,11 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                                           rep(prefix), max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
+    qweights = (_quantize_weights_jit(
+        params, getattr(module, "dtype", jnp.bfloat16))
+        if int8_weights else None)
     return _beam_scan(module, params, logits, cache, length, b,
+                      qweights=qweights,
                       max_new_tokens=max_new_tokens, beam_width=w,
                       eos_id=eos_id,
                       pad_id=eos_id if pad_id is None else pad_id,
@@ -269,7 +274,7 @@ def _freeze_finished(logp, finished, pad_id):
                                              "beam_width", "eos_id", "pad_id",
                                              "length_penalty"))
 def _beam_scan(module, params, logits, cache, length, b, *,
-               max_new_tokens: int, beam_width: int,
+               qweights=None, max_new_tokens: int, beam_width: int,
                eos_id: Optional[int], pad_id: Optional[int],
                length_penalty: float):
     w = beam_width
@@ -308,7 +313,8 @@ def _beam_scan(module, params, logits, cache, length, b, *,
             gen_len = jnp.where(parent_fin, parent_len, i + 1)
 
         logits, cache, length = module.apply(
-            params, token_flat, cache, length, method=type(module).decode_step)
+            params, token_flat, cache, length, qweights,
+            method=type(module).decode_step)
         return (logits, cache, length, top_scores.reshape(-1), toks,
                 finished, gen_len), None
 
@@ -336,7 +342,8 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                         topk: int = 20, temperature: float = 1.0,
                         eos_id: Optional[int] = None,
                         pad_id: Optional[int] = None,
-                        length_penalty: float = 0.0, int8_kv: bool = False):
+                        length_penalty: float = 0.0,
+                        int8_kv: bool = False, int8_weights: bool = False):
     """Stochastic beam search: each beam samples ``beam_width`` candidates
     from its top-k distribution, the global best W survive — the behavior of
     reference:gpt2_model.py:355-412, vectorized and cached. EOS handling as
@@ -353,7 +360,11 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                                           rep(prefix), max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
+    qweights = (_quantize_weights_jit(
+        params, getattr(module, "dtype", jnp.bfloat16))
+        if int8_weights else None)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
+                              qweights=qweights,
                               max_new_tokens=max_new_tokens, beam_width=w,
                               topk=topk, temperature=temperature,
                               eos_id=eos_id,
@@ -365,7 +376,8 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                                              "beam_width", "topk", "eos_id",
                                              "pad_id", "length_penalty"))
 def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
-                       max_new_tokens: int, beam_width: int, topk: int,
+                       qweights=None, max_new_tokens: int, beam_width: int,
+                       topk: int,
                        temperature: float, eos_id: Optional[int],
                        pad_id: Optional[int], length_penalty: float):
     w = beam_width
@@ -409,7 +421,8 @@ def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
             gen_len = jnp.where(parent_fin, parent_len, i + 1)
 
         logits, cache, length = module.apply(
-            params, token_flat, cache, length, method=type(module).decode_step)
+            params, token_flat, cache, length, qweights,
+            method=type(module).decode_step)
         return (logits, cache, length, top_scores.reshape(-1), toks,
                 finished, gen_len), None
 
@@ -442,3 +455,26 @@ def trim_at_eot(tokens, eot_id: int):
         stops = np.where(row == eot_id)[0]
         out.append(list(row[: stops[0]] if len(stops) else row))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("module", "max_new_tokens"))
+def greedy_decode_scan(module, params, logits, cache, length, *,
+                       max_new_tokens: int) -> jnp.ndarray:
+    """Greedy KV-cached decode as ONE scanned dispatch, for any module with
+    the ``decode_step(token, cache, length) -> (logits, cache, length)``
+    contract (whisper, llama, gpt). Emits argmax(prefill logits) first, then
+    max_new_tokens - 1 cached steps — token-identical to the per-step
+    Python loop it replaces (eval/evaluate.py used to dispatch decode_step
+    per token: ~33 ms of tunnel round-trip per TOKEN on this harness,
+    reference:whisper_hugging_face.ipynb cells 25-27 generate server-side).
+    Returns [B, max_new_tokens]."""
+    def step(carry, _):
+        logits, cache, length = carry
+        tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        logits, cache, length = module.apply(
+            params, tok, cache, length, method=type(module).decode_step)
+        return (logits, cache, length), tok
+
+    _, toks = jax.lax.scan(step, (logits, cache, length), None,
+                           length=max_new_tokens)
+    return jnp.transpose(toks)                      # [B, max_new_tokens]

@@ -202,7 +202,10 @@ class Llama(nn.Module):
         from frankenstein_tpu.models.gpt2 import x_len
         return self._head(x)[:, 0], cache, jnp.int32(x_len(idx, prefix))
 
-    def decode_step(self, token, cache, length):
+    def decode_step(self, token, cache, length, qweights=None):
+        if qweights is not None:
+            raise NotImplementedError(
+                "Llama has no w8a16 decode path; pass int8_weights=False")
         x = jnp.take(self.embed, token[:, None], axis=0).astype(self.dtype)
         (x, _, _), cache = self.layers((x, length, jnp.float32(0.0)), cache)
         x = self.norm_f(x)

