@@ -229,37 +229,73 @@ def _probe_tunnel(timeout_s: float = 180.0) -> bool:
     return p.returncode == 0 and "PROBE_OK 16.0" in p.stdout
 
 
+_LAST_RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_last.json")
+
+
+def _outage_json(budget_s: float, attempts: int) -> str:
+    """Machine-readable give-up line (VERDICT r3 #2: an outage round must
+    leave a parseable artifact, never a driver-side rc=124). ``last_known``
+    is the sidecar written by the most recent SUCCESSFUL run, if any."""
+    last = None
+    try:
+        with open(_LAST_RESULT) as f:
+            last = json.load(f)
+    except (OSError, ValueError):
+        pass
+    return json.dumps({"outage": True, "budget_s": budget_s,
+                       "attempts": attempts, "last_known": last})
+
+
 def _parent(child_args, budget_s: float, child_timeout_s: float) -> int:
     """Probe-then-run with per-attempt watchdogs until the budget expires.
     Forwards the child's stdout; exits 0 iff the child's last stdout line is
-    the JSON result."""
+    the JSON result. The budget (BENCH_BUDGET_S, default 1700 s) is sized to
+    END BEFORE the driver's observed ~2000 s kill window so that a
+    full-window outage still prints the final ``{"outage": true, ...}`` JSON
+    instead of dying rc=124 mid-sleep; every sleep and the child watchdog
+    are clamped to the remaining budget."""
     t0 = time.monotonic()
-    waits = [30, 60, 120, 300, 600, 600]
+    waits = [30, 60, 120, 240, 240, 240]
     attempt = 0
+
+    def remaining():
+        return budget_s - (time.monotonic() - t0)
+
+    def give_up():
+        print(f"[bench] giving up after {time.monotonic() - t0:.0f}s "
+              f"(budget {budget_s:.0f}s)", file=sys.stderr, flush=True)
+        print(_outage_json(budget_s, attempt), flush=True)
+        return 1
+
     while True:
-        elapsed = time.monotonic() - t0
-        if elapsed > budget_s:
-            print(f"[bench] giving up after {elapsed:.0f}s (budget "
-                  f"{budget_s:.0f}s)", file=sys.stderr, flush=True)
-            return 1
+        # a probe costs up to 180 s — don't start one we can't afford
+        if remaining() < 200:
+            return give_up()
         attempt += 1
         print(f"[bench] attempt {attempt}: probing tunnel...",
               file=sys.stderr, flush=True)
         if not _probe_tunnel():
-            wait = waits[min(attempt - 1, len(waits) - 1)]
+            wait = min(waits[min(attempt - 1, len(waits) - 1)],
+                       max(remaining() - 200, 0))
+            if wait <= 0:
+                return give_up()
             print(f"[bench] tunnel probe FAILED (outage?); retrying in "
-                  f"{wait}s", file=sys.stderr, flush=True)
+                  f"{wait:.0f}s", file=sys.stderr, flush=True)
             time.sleep(wait)
             continue
-        print("[bench] tunnel ok; running measurement child...",
-              file=sys.stderr, flush=True)
+        child_cap = min(child_timeout_s, remaining() - 30)
+        if child_cap < 300:          # not enough left for a real measurement
+            return give_up()
+        print(f"[bench] tunnel ok; running measurement child "
+              f"(watchdog {child_cap:.0f}s)...", file=sys.stderr, flush=True)
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child",
                  *child_args],
-                capture_output=True, text=True, timeout=child_timeout_s)
+                capture_output=True, text=True, timeout=child_cap)
         except subprocess.TimeoutExpired as e:
-            print(f"[bench] child exceeded watchdog ({child_timeout_s:.0f}s) "
+            print(f"[bench] child exceeded watchdog ({child_cap:.0f}s) "
                   f"— silent hang mid-run; retrying\n{e.stderr or ''}",
                   file=sys.stderr, flush=True)
             continue
@@ -267,19 +303,27 @@ def _parent(child_args, budget_s: float, child_timeout_s: float) -> int:
         lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
         if p.returncode == 0 and lines:
             try:
-                json.loads(lines[-1])
+                result = json.loads(lines[-1])
             except ValueError:
                 print(f"[bench] child rc=0 but last line is not JSON:\n"
                       f"{p.stdout}", file=sys.stderr, flush=True)
             else:
+                try:
+                    with open(_LAST_RESULT, "w") as f:
+                        json.dump(result, f)
+                except OSError:
+                    pass
                 sys.stdout.write("\n".join(lines) + "\n")
                 sys.stdout.flush()
                 return 0
         else:
             print(f"[bench] child failed rc={p.returncode}\n{p.stdout}",
                   file=sys.stderr, flush=True)
-        wait = waits[min(attempt - 1, len(waits) - 1)]
-        print(f"[bench] retrying in {wait}s", file=sys.stderr, flush=True)
+        wait = min(waits[min(attempt - 1, len(waits) - 1)],
+                   max(remaining() - 200, 0))
+        if wait <= 0:
+            return give_up()
+        print(f"[bench] retrying in {wait:.0f}s", file=sys.stderr, flush=True)
         time.sleep(wait)
 
 
@@ -293,7 +337,10 @@ if __name__ == "__main__":
             main()
         sys.exit(0)
     child_args = ["--sweep"] if "--sweep" in argv else []
-    budget = float(os.environ.get("BENCH_BUDGET_S", "7000"))
+    # 1700 s < the driver's observed ~2000 s window (VERDICT r3 #2); sweeps
+    # are run manually, not by the driver, so they keep a wide budget.
+    budget = float(os.environ.get("BENCH_BUDGET_S",
+                                  "7000" if child_args else "1700"))
     child_timeout = float(os.environ.get(
-        "BENCH_CHILD_TIMEOUT_S", "3000" if child_args else "1800"))
+        "BENCH_CHILD_TIMEOUT_S", "3000" if child_args else "1500"))
     sys.exit(_parent(child_args, budget, child_timeout))
