@@ -1055,23 +1055,33 @@ def _rot_rows(x, cos_ref, sin_ref, row0, rows):
     return (xf * cos + xs * (sign * sin)).astype(x.dtype)
 
 
-def _fwd_packed_rope_kernel(i_ref, c_ref, first_ref, last_ref,
+def _fwd_packed_rope_kernel(i_ref, c_ref, first_ref, last_ref, kfirst_ref,
                             q_ref, k_ref, v_ref, cos_ref, sin_ref,
                             o_ref, lse_ref, *scr,
                             block: int, qb: int, chunk: int, scale: float,
                             d: int, npack: int, qk_int8: bool = False):
     """_fwd_packed_kernel with in-kernel rotation (causal only).
 
+    K chunks are rotated (+ quantized + block-diagonal staged) ONCE, at
+    their FIRST (q-block, chunk) pair (host-computed ``kfirst`` flag), into
+    a whole-sequence VMEM scratch ([T*P, P*D], ~6 MB bf16 at the flagship
+    shape); the ~T/QB later pairs that revisit the chunk read the staged
+    tile back. The per-pair VPU chain this removes (rotate f32 +
+    tile/select, and for int8 the f32 convert + per-head max-abs reduces +
+    round) ran in series with the MXU dots every pair. Values are
+    IDENTICAL: rotation depends only on (chunk, table) and the int8 K
+    scale only on (chunk, head).
+
     qk_int8: quantize rotated Q per (row, head) and rotated K per
-    (chunk-tile, head) to int8 symmetric max-abs scales, run the packed QK
+    (chunk, head) to int8 symmetric max-abs scales, run the packed QK
     dot on the MXU's 2x int8 rate, and dequantize exactly during the
     int32 -> f32 convert (the K scalar folds into ``scale``; the Q scale is
     a [QB, 1] column broadcast — ~1 extra VPU op/score vs the bf16 path).
-    V and the AV dot stay bf16. Measured rate at this dot shape: bf16
-    0.75 ms vs int8+convert 0.60 ms per 256 x [512,128]x[4096,128]^T."""
-    s_scr, acc_scr, qrot_scr = scr[0], scr[1], scr[2]
-    m_scrs, l_scrs = scr[3:3 + npack], scr[3 + npack:3 + 2 * npack]
-    qs_scrs = scr[3 + 2 * npack:3 + 3 * npack] if qk_int8 else ()
+    V and the AV dot stay bf16."""
+    s_scr, acc_scr, qrot_scr, kbd_scr = scr[0], scr[1], scr[2], scr[3]
+    m_scrs, l_scrs = scr[4:4 + npack], scr[4 + npack:4 + 2 * npack]
+    qs_scrs = scr[4 + 2 * npack:4 + 3 * npack] if qk_int8 else ()
+    ks_scr = scr[4 + 3 * npack] if qk_int8 else None
     pd = npack * d
     p = pl.program_id(1)
     i = i_ref[p]
@@ -1097,27 +1107,37 @@ def _fwd_packed_rope_kernel(i_ref, c_ref, first_ref, last_ref,
             m_scrs[h][...] = jnp.full_like(m_scrs[h], -jnp.inf)
             l_scrs[h][...] = jnp.zeros_like(l_scrs[h])
 
+    @pl.when(kfirst_ref[p] == 1)
+    def _stage_k():
+        kc = _rot_rows(k_ref[0], cos_ref, sin_ref, c * chunk, chunk)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 0)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 1)
+        keep = (sub // chunk) == (lane2 // d)
+        if qk_int8:
+            kf = kc.astype(jnp.float32)
+            sb_k = jnp.zeros((1, pd), jnp.float32)
+            for h in range(npack):
+                skh = (jnp.max(jnp.abs(kf[:, h * d:(h + 1) * d])) / 127.0
+                       + 1e-12)
+                ks_scr[h, c] = skh
+                sb_k = sb_k + jnp.where(lane == h, skh, 0.0)
+            ki = jnp.round(kf / sb_k).astype(jnp.int8)
+            kbd_scr[pl.ds(c * npack * chunk, npack * chunk), :] = jnp.where(
+                keep, jnp.tile(ki, (npack, 1)), jnp.zeros((), jnp.int8)
+            ).astype(jnp.int8)
+        else:
+            kbd_scr[pl.ds(c * npack * chunk, npack * chunk), :] = jnp.where(
+                keep, jnp.tile(kc, (npack, 1)), 0).astype(kbd_scr.dtype)
+
     q = qrot_scr[...]
-    kc = _rot_rows(k_ref[0], cos_ref, sin_ref, c * chunk, chunk)
     vc = v_ref[0]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 0)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (npack * chunk, pd), 1)
-    keep = (sub // chunk) == (lane2 // d)
+    kbd = kbd_scr[pl.ds(c * npack * chunk, npack * chunk), :]
     if qk_int8:
-        kf = kc.astype(jnp.float32)
-        sk, sb_k = [], jnp.zeros((1, pd), jnp.float32)
-        for h in range(npack):
-            skh = jnp.max(jnp.abs(kf[:, h * d:(h + 1) * d])) / 127.0 + 1e-12
-            sk.append(skh)
-            sb_k = sb_k + jnp.where(lane == h, skh, 0.0)
-        ki = jnp.round(kf / sb_k).astype(jnp.int8)
-        kbd = jnp.where(keep, jnp.tile(ki, (npack, 1)),
-                        jnp.zeros((), jnp.int8)).astype(jnp.int8)
+        sk = [ks_scr[h, c] for h in range(npack)]
         s_scr[...] = jax.lax.dot_general(
             q, kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
     else:
-        kbd = jnp.where(keep, jnp.tile(kc, (npack, 1)), 0).astype(vc.dtype)
         s_scr[...] = jax.lax.dot_general(
             q, kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -1167,7 +1187,12 @@ def _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, *, block: int,
     dequantized per head slice during the convert — a full-width f32 copy
     of the int32 scores would transiently double the 8 MB score scratch
     and blow VMEM), the rotated-q scratch to int8, and adds npack [QB, 1]
-    per-row Q-scale scratches."""
+    per-row Q-scale scratches plus an SMEM [P, T/CHUNK] K-scale table.
+
+    The staged-K cache ([T*P, P*D] VMEM scratch + per-pair ``kfirst``
+    flags) holds every chunk's rotated/quantized block-diagonal tile for
+    the whole batch-group pass — chunks are staged once, not once per
+    visiting q-block."""
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, e = q.shape
@@ -1176,34 +1201,44 @@ def _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, *, block: int,
     pd = npack * d
     ng = e // pd
     nb = b * ng
+    nchunks = t // chunk
     scale = 1.0 / (d ** 0.5)
     pr = _triangle_pairs(t, block, qb, chunk, True)
     i_arr, c_arr, last_arr = pr
     first_arr = (c_arr == 0).astype(c_arr.dtype)
+    seen, kfirst = set(), []
+    for c in c_arr.tolist():
+        kfirst.append(0 if c in seen else 1)
+        seen.add(c)
 
     qspec = pl.BlockSpec((1, qb, pd),
-                         lambda g, p, i_r, c_r, f_r, l_r: (g // ng, i_r[p],
-                                                           g % ng))
+                         lambda g, p, i_r, c_r, f_r, l_r, kf_r: (
+                             g // ng, i_r[p], g % ng))
     kvspec = pl.BlockSpec((1, chunk, pd),
-                          lambda g, p, i_r, c_r, f_r, l_r: (g // ng, c_r[p],
-                                                            g % ng))
-    tabspec = pl.BlockSpec((t, pd), lambda g, p, i_r, c_r, f_r, l_r: (0, 0))
+                          lambda g, p, i_r, c_r, f_r, l_r, kf_r: (
+                              g // ng, c_r[p], g % ng))
+    tabspec = pl.BlockSpec((t, pd),
+                           lambda g, p, i_r, c_r, f_r, l_r, kf_r: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nb, len(i_arr)),
         in_specs=[qspec, kvspec, kvspec, tabspec, tabspec],
         out_specs=[
             qspec,
             pl.BlockSpec((1, npack, t),
-                         lambda g, p, i_r, c_r, f_r, l_r: (g, 0, 0)),
+                         lambda g, p, i_r, c_r, f_r, l_r, kf_r: (g, 0, 0)),
         ],
         scratch_shapes=(
             [pltpu.VMEM((qb, npack * chunk),
                         jnp.int32 if qk_int8 else jnp.float32),
              pltpu.VMEM((qb, pd), jnp.float32),
-             pltpu.VMEM((qb, pd), jnp.int8 if qk_int8 else q.dtype)]
+             pltpu.VMEM((qb, pd), jnp.int8 if qk_int8 else q.dtype),
+             pltpu.VMEM((nchunks * npack * chunk, pd),
+                        jnp.int8 if qk_int8 else q.dtype)]
             + [pltpu.VMEM((qb, 1), jnp.float32)
-               for _ in range((3 if qk_int8 else 2) * npack)]),
+               for _ in range((3 if qk_int8 else 2) * npack)]
+            + ([pltpu.SMEM((npack, nchunks), jnp.float32)]
+               if qk_int8 else [])),
     )
     return pl.pallas_call(
         functools.partial(_fwd_packed_rope_kernel, block=block, qb=qb,
@@ -1228,7 +1263,8 @@ def _fwd_packed_rope_bte(q, k, v, cos_pd, sin_pd, *, block: int,
             vmem_limit_bytes=ROPE_FUSED_VMEM),
         interpret=interpret,
     )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(first_arr),
-      jnp.asarray(last_arr), q, k, v, cos_pd, sin_pd)
+      jnp.asarray(last_arr), jnp.asarray(kfirst, jnp.int32),
+      q, k, v, cos_pd, sin_pd)
 
 
 def rope_tables_packed(cache: jnp.ndarray, npack: int, dtype=jnp.float32):
@@ -1258,7 +1294,8 @@ def rope_fused_supported(b: int, t: int, e: int, n_heads: int,
         return False
     resident = (_packed_resident_bytes(t, d, itemsize, plan)
                 + 2 * t * npack * d * 4          # sin/cos tables
-                + qb * npack * d * itemsize)     # rotated-q scratch
+                + qb * npack * d * itemsize      # rotated-q scratch
+                + t * npack * npack * d * itemsize)  # staged-K chunk cache
     return resident < ROPE_FUSED_VMEM
 
 

@@ -104,8 +104,13 @@ def main():
                                steps_per_dispatch=args.k)
             print(f"[sweep] batch={b} remat={remat}...", file=sys.stderr,
                   flush=True)
-            row = run_cell(spec, tcfg, batch, k_steps=args.k,
-                           m_dispatch=args.dispatches)
+            try:
+                row = run_cell(spec, tcfg, batch, k_steps=args.k,
+                               m_dispatch=args.dispatches)
+            except Exception as err:  # OOM cells report, don't kill the sweep
+                row = {"batch": b, "remat": remat, "k_steps": args.k,
+                       "error": f"{type(err).__name__}: "
+                                f"{str(err).splitlines()[0][:200]}"}
             print(json.dumps(row), flush=True)
             rows.append(row)
     print(json.dumps({"train_sweep": rows}), flush=True)
