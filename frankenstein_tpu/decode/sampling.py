@@ -260,6 +260,41 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                       length_penalty=length_penalty)
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _beam_expand(logits, cache, w):
+    """Replicate a batch-B prefilled decode state to B*W beam rows (each
+    sentence's W beams are adjacent, matching the beam scan's group layout)."""
+    rep = lambda x: jnp.repeat(x, w, axis=0)
+    return rep(logits), jax.tree_util.tree_map(rep, cache)
+
+
+def beam_from_prefill(module, params, logits, cache, length, *,
+                      max_new_tokens: int, beam_width: int = 5,
+                      eos_id: Optional[int] = None,
+                      pad_id: Optional[int] = None,
+                      length_penalty: float = 1.0):
+    """Deterministic beam search from an already-prefilled decode state —
+    the seq2seq entry point (whisper/llama), where prefill is model-specific
+    (encoder + cross-KV + prompt) and runs ONCE at batch B before the state
+    is replicated to B*W beams here. The module only needs the
+    ``decode_step(token, cache, length, qweights) -> (logits, cache, length)``
+    contract with batch at axis 0 of every cache leaf.
+
+    Matches reference:whisper_hugging_face.ipynb cells 25-27 (HF
+    ``generate(num_beams=5)``): ranking divides by ``gen_len**length_penalty``
+    (HF default 1.0; pass 0.0 for raw log-prob ranking).
+
+    Returns (tokens [B, max_new_tokens], scores [B]).
+    """
+    b = logits.shape[0]
+    logits, cache = _beam_expand(logits, cache, beam_width)
+    return _beam_scan(module, params, logits, cache, length, b,
+                      max_new_tokens=max_new_tokens, beam_width=beam_width,
+                      eos_id=eos_id,
+                      pad_id=(eos_id if pad_id is None else pad_id),
+                      length_penalty=length_penalty)
+
+
 def _freeze_finished(logp, finished, pad_id):
     """Rows of finished beams get a single continuation: pad with logp 0 —
     the beam's score and (post-EOS) content are frozen."""

@@ -53,14 +53,19 @@ def evaluate_franky_wer(model, params, dataset, tokenizer, *,
 def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
                          start_id: Optional[int] = None, batch_size: int = 16,
                          max_new_tokens: int = 32, eot_id: Optional[int] = None,
+                         beam_width: int = 0, length_penalty: float = 1.0,
                          normalize: Callable = process_string):
-    """Whisper-path WER: greedy cached decode over [N, n_mels, T] inputs.
+    """Whisper-path WER: cached decode over [N, n_mels, T] inputs — greedy
+    by default, deterministic beam search with ``beam_width > 1`` (the
+    reference evaluates both ``generate()`` and ``generate(num_beams=5)``,
+    reference:whisper_hugging_face.ipynb cells 25-27; beams rank by
+    HF-style ``score / gen_len**length_penalty``).
 
     With ``start_id=None`` the decoder is prompted with the model's own SOT
     sequence (``<|startoftranscript|><|lang|><|task|><|notimestamps|>`` for an
     HF-imported checkpoint — the reference decodes through the HF processor
-    with exactly this prompt, reference:whisper_hugging_face.ipynb cells
-    25-27), and generation is trimmed at the model's end token."""
+    with exactly this prompt), and generation is trimmed at the model's end
+    token."""
     from frankenstein_tpu.models import whisper as whisper_lib
 
     cfg = model.cfg
@@ -87,9 +92,16 @@ def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
             cfg, batch_size, len(prompt) + max_new_tokens + 2)
         logits, cache, length = _whisper_prefill_jit(model, params, tok0,
                                                      jnp.asarray(xs), cache)
-        seqs = np.asarray(sampling.greedy_decode_scan(
-            model, params, logits, cache, length,
-            max_new_tokens=max_new_tokens))[:real]
+        if beam_width > 1:
+            seqs, _ = sampling.beam_from_prefill(
+                model, params, logits, cache, length,
+                max_new_tokens=max_new_tokens, beam_width=beam_width,
+                eos_id=eot, length_penalty=length_penalty)
+            seqs = np.asarray(seqs)[:real]
+        else:
+            seqs = np.asarray(sampling.greedy_decode_scan(
+                model, params, logits, cache, length,
+                max_new_tokens=max_new_tokens))[:real]
         if eot is not None:
             seqs_list = sampling.trim_at_eot(seqs, eot)
         else:

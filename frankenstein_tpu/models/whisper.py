@@ -274,7 +274,12 @@ class BrainWhisper(nn.Module):
                             preferred_element_type=jnp.float32)[:, 0]
         return logits, (new_ks, new_vs, cross), jnp.int32(t)
 
-    def decode_step(self, token, cache, length):
+    def decode_step(self, token, cache, length, qweights=None):
+        """One cached decoder step. ``qweights`` is accepted for the generic
+        beam-scan contract (decode/sampling.py passes it positionally) but
+        w8a16 is not plumbed for whisper — the tiny decoder's weights are a
+        small fraction of step bytes next to the cross/self caches."""
+        assert qweights is None, "w8a16 is not supported on the whisper path"
         ks, vs, cross = cache
         x = (jnp.take(self.embed_tokens, token[:, None], axis=0)
              + jax.lax.dynamic_slice_in_dim(self.embed_positions, length, 1)[None]

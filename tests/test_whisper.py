@@ -223,3 +223,86 @@ def test_greedy_decode_scan_matches_loop(tiny_whisper):
         toks.append(jnp.argmax(lg, -1).astype(jnp.int32))
     want = np.stack([np.asarray(t) for t in toks], axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def _whisper_prefill_state(model, params, cfg, mel, max_new):
+    prompt = model.sot_prompt()
+    b = mel.shape[0]
+    tok0 = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (b, 1))
+    cache = whisper.init_whisper_cache(cfg, b, len(prompt) + max_new + 2)
+    logits, cache, length = model.apply(params, tok0, mel, cache,
+                                        method=type(model).prefill)
+    return logits, cache, length, prompt
+
+
+def test_whisper_beam1_matches_greedy(tiny_whisper):
+    """beam_from_prefill at width 1 without EOS freezing is greedy —
+    token-identical to the scanned greedy driver from the same prefill."""
+    from frankenstein_tpu.decode import sampling
+
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    logits, cache, length, _ = _whisper_prefill_state(model, params, cfg,
+                                                      mel, 6)
+    greedy = np.asarray(sampling.greedy_decode_scan(
+        model, params, logits, cache, length, max_new_tokens=6))
+    beam, _ = sampling.beam_from_prefill(
+        model, params, logits, cache, length, max_new_tokens=6,
+        beam_width=1, eos_id=None, length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(beam), greedy)
+
+
+def test_whisper_beam_score_not_worse_and_exact(tiny_whisper):
+    """Wider whisper beams find sequences with >= total log-prob, and the
+    reported score equals the true sequence log-prob under a FULL re-forward
+    decode (reference semantics: the cached beam must price tokens exactly
+    as model.decode does)."""
+    from frankenstein_tpu.decode import sampling
+
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(8)
+    mel = jnp.asarray(rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    max_new = 5
+
+    def run(w):
+        logits, cache, length, prompt = _whisper_prefill_state(
+            model, params, cfg, mel, max_new)
+        toks, scores = sampling.beam_from_prefill(
+            model, params, logits, cache, length, max_new_tokens=max_new,
+            beam_width=w, eos_id=None, length_penalty=0.0)
+        return toks, scores, prompt
+
+    b1, s1, prompt = run(1)
+    b4, s4, _ = run(4)
+    assert float(s4[0]) >= float(s1[0]) - 1e-5
+
+    # exactness: full re-forward log-prob of the winning sequence
+    enc = model.apply(params, mel, method=whisper.BrainWhisper.encode)
+    full = jnp.concatenate(
+        [jnp.asarray(prompt, jnp.int32)[None], b4.astype(jnp.int32)], axis=1)
+    logits = model.apply(params, full, enc, method=whisper.BrainWhisper.decode)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tot = 0.0
+    for t in range(max_new):
+        tot += float(logp[0, len(prompt) - 1 + t, int(b4[0, t])])
+    np.testing.assert_allclose(tot, float(s4[0]), atol=1e-3)
+
+
+def test_whisper_eval_beam_path(tiny_whisper):
+    """evaluate_seq2seq_wer(beam_width=3) runs end-to-end and freezes beams
+    at the model's EOT (rows contain only pad==eot after the first eot)."""
+    from frankenstein_tpu.data import tokenizers
+    from frankenstein_tpu.eval import evaluate
+
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(9)
+    mels = rng.standard_normal((4, cfg.n_mels, 2 * cfg.n_audio_ctx)
+                               ).astype(np.float32)
+    tok = tokenizers.ByteTokenizer(eot_id=int(model.eot_id()))
+    wer, preds = evaluate.evaluate_seq2seq_wer(
+        model, params, mels, ["a b"] * 4, tok,
+        batch_size=2, max_new_tokens=5, beam_width=3)
+    assert len(preds) == 4 and np.isfinite(wer)

@@ -22,7 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(batch: int = 32, max_new: int = 25):
+def main(batch: int = 32, max_new: int = 25, beam: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -62,8 +62,13 @@ def main(batch: int = 32, max_new: int = 25):
 
     def full_fn(params, key):
         logits, cache, length = prefill(params, key)
-        toks = sampling.greedy_decode_scan(model, params, logits, cache,
-                                           length, max_new_tokens=max_new)
+        if beam > 1:
+            toks, _ = sampling.beam_from_prefill(
+                model, params, logits, cache, length, max_new_tokens=max_new,
+                beam_width=beam, eos_id=model.eot_id())
+        else:
+            toks = sampling.greedy_decode_scan(
+                model, params, logits, cache, length, max_new_tokens=max_new)
         return toks.astype(jnp.float32)
 
     prefill_s = bench._bench(prefill_fn, 8)
@@ -72,6 +77,7 @@ def main(batch: int = 32, max_new: int = 25):
     print(json.dumps({
         "model": "whisper-tiny-geometry",
         "batch": batch,
+        "beam_width": beam,
         "max_new_tokens": max_new,
         "prefill_encode_ms_per_batch": round(prefill_s * 1000, 2),
         "decode_ms_per_batch": round(decode_s * 1000, 2),
@@ -81,4 +87,6 @@ def main(batch: int = 32, max_new: int = 25):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    # usage: whisper_bench.py [batch] [beam_width]
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
+         beam=int(sys.argv[2]) if len(sys.argv) > 2 else 0)
