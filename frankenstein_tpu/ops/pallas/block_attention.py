@@ -495,6 +495,250 @@ def _bwd(q3, k3, v3, o3, do3, lse, *, block: int, scale: float,
 
 
 # ---------------------------------------------------------------------------
+# head-packed backward: P heads per program via block-diagonal staging
+# ---------------------------------------------------------------------------
+#
+# The per-head triangle backward runs on [BH, T, D] with a D=32 minor dim —
+# every q/k/v/do block tile pads its 32 lanes to 128 in VMEM (4x the DMA
+# bytes), and each (head, pair) recomputes the slab mask and pair
+# bookkeeping. Packing P = 128/d heads per program (the forward's layout,
+# [NB, T, P*D]) reads dense tiles and shares mask/bookkeeping across the P
+# heads; all four backward dots keep full MXU depth via the forward's
+# block-diagonal staging (Xbd: chunk rows of head h in row segment h, lanes
+# in band h, zeros elsewhere — cross-head terms vanish exactly):
+#
+#   dP_h = dO_h V_h^T   -> do  [QB, PD]    x Vbd  [P*C, PD]  (contract lanes)
+#   dQ_h = dS_h K_h     -> ds  [QB, P*C]   x Kbd  [P*C, PD]
+#   dV_h = P_h^T dO_h   -> pexpT [KB, P*QC] x dObd [P*QC, PD]
+#   dK_h = dS_h^T Q_h   -> dsT [KB, P*QC]  x Qbd  [P*QC, PD]
+#
+# Per-head ds/pexp values are IDENTICAL to the triangle kernels' (same f32
+# math, same cast points); only the dots' accumulation trees differ (zeros
+# interleave the same addends), so parity is tested to tight tolerances
+# rather than claimed bit-exact.
+
+
+def _blockdiag(xc, npack: int, d: int):
+    """[C, P*D] chunk -> [P*C, P*D] block-diagonal staging."""
+    c, pd = xc.shape
+    sub = jax.lax.broadcasted_iota(jnp.int32, (npack * c, pd), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (npack * c, pd), 1)
+    return jnp.where((sub // c) == (lane // d), jnp.tile(xc, (npack, 1)),
+                     0).astype(xc.dtype)
+
+
+def _slab_mask_t(j, c, shape, *, block: int, kb: int, qchunk: int):
+    """[KB, QC] TRANSPOSED slab mask: rows are kv positions [j*kb, ...),
+    cols q positions [c*qchunk, ...); allowed(k, q) <=> slab(k) <= slab(q)."""
+    kb_, qc_ = shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (kb_, 1), 0) + j * kb
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, qc_), 1) + c * qchunk
+    return (row // block) <= (col // block)
+
+
+def _bwd_dq_packed_kernel(i_ref, c_ref, last_ref, q_ref, k_ref, v_ref,
+                          do_ref, lse_ref, delta_ref, dq_ref, dq_scr, ds_scr,
+                          *, block: int, qb: int, chunk: int, scale: float,
+                          d: int, npack: int, causal: bool):
+    p = pl.program_id(1)
+    i = i_ref[p]
+    c = c_ref[p]
+
+    @pl.when(c == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]                                   # [QB, PD]
+    do = do_ref[0]
+    kbd = _blockdiag(k_ref[0], npack, d)           # [P*C, PD]
+    vbd = _blockdiag(v_ref[0], npack, d)
+    s = jax.lax.dot_general(q, kbd, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    dp = jax.lax.dot_general(do, vbd, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [QB, P*C]
+    if causal:
+        allowed = _slab_mask(i, c, (qb, chunk), block=block, qb=qb,
+                             chunk=chunk)
+    for h in range(npack):
+        sh = s[:, h * chunk:(h + 1) * chunk]
+        if causal:
+            sh = jnp.where(allowed, sh, NEG_INF)
+        lse_h = lse_ref[0, h, pl.ds(i * qb, qb)][:, None]
+        delta_h = delta_ref[0, h, pl.ds(i * qb, qb)][:, None]
+        pexp_h = jnp.exp(sh - lse_h)
+        ds_scr[:, h * chunk:(h + 1) * chunk] = (
+            pexp_h * (dp[:, h * chunk:(h + 1) * chunk] - delta_h)
+            * scale).astype(ds_scr.dtype)
+    dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
+        ds_scr[...], kbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_packed_kernel(j_ref, c_ref, first_ref, last_ref, q_ref, k_ref,
+                           v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                           dk_scr, dv_scr, pt_scr, dst_scr,
+                           *, block: int, kb: int, qchunk: int, scale: float,
+                           d: int, npack: int, causal: bool):
+    p = pl.program_id(1)
+    j = j_ref[p]
+    c = c_ref[p]
+
+    @pl.when(first_ref[p] == 1)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    kj = k_ref[0]                                  # [KB, PD]
+    vj = v_ref[0]
+    qbd = _blockdiag(q_ref[0], npack, d)           # [P*QC, PD]
+    dobd = _blockdiag(do_ref[0], npack, d)
+    st = jax.lax.dot_general(kj, qbd, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dpt = jax.lax.dot_general(vj, dobd, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if causal:
+        allowed = _slab_mask_t(j, c, (kb, qchunk), block=block, kb=kb,
+                               qchunk=qchunk)
+    for h in range(npack):
+        sth = st[:, h * qchunk:(h + 1) * qchunk]   # [KB, QC] = s_h^T
+        if causal:
+            sth = jnp.where(allowed, sth, NEG_INF)
+        lse_h = lse_ref[0, h, pl.ds(c * qchunk, qchunk)][None, :]
+        delta_h = delta_ref[0, h, pl.ds(c * qchunk, qchunk)][None, :]
+        pexp_h = jnp.exp(sth - lse_h)
+        pt_scr[:, h * qchunk:(h + 1) * qchunk] = pexp_h.astype(pt_scr.dtype)
+        dst_scr[:, h * qchunk:(h + 1) * qchunk] = (
+            pexp_h * (dpt[:, h * qchunk:(h + 1) * qchunk] - delta_h)
+            * scale).astype(dst_scr.dtype)
+    dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
+        pt_scr[...], dobd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
+        dst_scr[...], qbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_packed_plan(t: int, block: int):
+    """(qb, chunk) for the packed backward, or None (fall back per-head)."""
+    qb, chunk = 512, 1024
+    if t % chunk != 0 or t % qb != 0:
+        return None
+    if block > 0 and (qb % block != 0 or chunk % block != 0):
+        return None
+    return qb, chunk
+
+
+def _bwd_packed_supported(t: int, d: int, npack: int, itemsize: int,
+                          block: int, interpret: bool = False) -> bool:
+    plan = _bwd_packed_plan(t, block)
+    if plan is None or npack <= 1:
+        return False
+    if interpret:          # no VMEM constraint off-hardware
+        return True
+    qb, chunk = plan
+    pd = npack * d
+    resident = (2 * qb * npack * chunk * 4        # s/dp (or st/dpt) f32
+                + 2 * qb * npack * chunk * itemsize   # ds + pexp scratches
+                + 2 * npack * chunk * pd * itemsize   # staged bd operands
+                + 2 * (qb + chunk) * pd * itemsize    # q/do + k/v blocks
+                + 3 * qb * pd * 4                     # dq | dk+dv acc
+                + 4 * npack * t * 4)                  # lse + delta rows
+    return resident < ROPE_FUSED_VMEM
+
+
+def _bwd_packed(q4, k4, v4, o4, do4, lse4, *, block: int, scale: float,
+                interpret: bool, causal: bool, npack: int, d: int):
+    """Packed backward on [NB, T, P*D] tensors; lse4: [NB, P, T].
+    Returns (dq4, dk4, dv4) in the packed layout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, t, pd = q4.shape
+    qb, chunk = _bwd_packed_plan(t, block)
+    prod = o4.astype(jnp.float32) * do4.astype(jnp.float32)
+    delta4 = jnp.transpose(prod.reshape(nb, t, npack, d).sum(-1),
+                           (0, 2, 1))                         # [NB, P, T]
+
+    qspec = pl.BlockSpec((1, qb, pd), lambda b, p, i_r, c_r, l_r: (b, i_r[p], 0))
+    cspec = pl.BlockSpec((1, chunk, pd),
+                         lambda b, p, i_r, c_r, l_r: (b, c_r[p], 0))
+    vec = pl.BlockSpec((1, npack, t), lambda b, p, *r: (b, 0, 0))
+
+    # ---- dq: forward triangle ------------------------------------------
+    i_arr, c_arr, last_arr = _triangle_pairs(t, block, qb, chunk, causal)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, len(i_arr)),
+        in_specs=[qspec, cspec, cspec, qspec, vec, vec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((qb, pd), jnp.float32),
+                        pltpu.VMEM((qb, npack * chunk), q4.dtype)],
+    )
+    dq4 = pl.pallas_call(
+        functools.partial(_bwd_dq_packed_kernel, block=block, qb=qb,
+                          chunk=chunk, scale=scale, d=d, npack=npack,
+                          causal=causal),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, t, pd), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(3 * 2 * nb * len(i_arr) * qb * npack * chunk * d),
+            bytes_accessed=int(5 * nb * t * pd * 4),
+            transcendentals=int(nb * len(i_arr) * qb * npack * chunk),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=ROPE_FUSED_VMEM),
+        interpret=interpret,
+    )(jnp.asarray(i_arr), jnp.asarray(c_arr), jnp.asarray(last_arr),
+      q4, k4, v4, do4, lse4, delta4)
+
+    # ---- dk/dv: transposed triangle --------------------------------------
+    kb, qchunk = qb, chunk
+    j_arr, qc_arr, first_arr, last2_arr = _triangle_pairs_kv(
+        t, block, kb, qchunk, causal)
+    jqspec = pl.BlockSpec((1, qchunk, pd),
+                          lambda b, p, j_r, c_r, f_r, l_r: (b, c_r[p], 0))
+    jkspec = pl.BlockSpec((1, kb, pd),
+                          lambda b, p, j_r, c_r, f_r, l_r: (b, j_r[p], 0))
+    vec2 = pl.BlockSpec((1, npack, t), lambda b, p, *r: (b, 0, 0))
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb, len(j_arr)),
+        in_specs=[jqspec, jkspec, jkspec, jqspec, vec2, vec2],
+        out_specs=[jkspec, jkspec],
+        scratch_shapes=[pltpu.VMEM((kb, pd), jnp.float32),
+                        pltpu.VMEM((kb, pd), jnp.float32),
+                        pltpu.VMEM((kb, npack * qchunk), q4.dtype),
+                        pltpu.VMEM((kb, npack * qchunk), q4.dtype)],
+    )
+    dk4, dv4 = pl.pallas_call(
+        functools.partial(_bwd_dkv_packed_kernel, block=block, kb=kb,
+                          qchunk=qchunk, scale=scale, d=d, npack=npack,
+                          causal=causal),
+        grid_spec=dkv_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb, t, pd), k4.dtype),
+                   jax.ShapeDtypeStruct((nb, t, pd), v4.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * 2 * nb * len(j_arr) * kb * npack * qchunk * d),
+            bytes_accessed=int(6 * nb * t * pd * 4),
+            transcendentals=int(nb * len(j_arr) * kb * npack * qchunk),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=ROPE_FUSED_VMEM),
+        interpret=interpret,
+    )(jnp.asarray(j_arr), jnp.asarray(qc_arr), jnp.asarray(first_arr),
+      jnp.asarray(last2_arr), q4, k4, v4, do4, lse4, delta4)
+    return dq4, dk4, dv4
+
+
+# ---------------------------------------------------------------------------
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
@@ -857,10 +1101,17 @@ def _slab_attention_packed_fwd(q4, k4, v4, block, d, npack, interpret):
 
 
 def _slab_attention_packed_bwd(block, d, npack, interpret, res, do4):
-    """Backward runs the per-head triangle kernels on [BH, T, D] — unpack
-    the packed residuals (head order (group, pack) matches the fwd pack)."""
+    """Backward: head-packed kernels on the packed [NB, T, P*D] residuals
+    when the shape qualifies (dense tiles, shared masks — see _bwd_packed);
+    else unpack to [BH, T, D] for the per-head triangle kernels (head order
+    (group, pack) matches the fwd pack)."""
     q4, k4, v4, out4, lse4 = res
     nb, t, pd = q4.shape
+    if _bwd_packed_supported(t, d, npack, jnp.dtype(q4.dtype).itemsize,
+                             block, interpret):
+        return _bwd_packed(q4, k4, v4, out4, do4, lse4, block=block,
+                           scale=1.0 / (d ** 0.5), interpret=interpret,
+                           causal=True, npack=npack, d=d)
     to3 = lambda x: jnp.transpose(x.reshape(nb, t, npack, d), (0, 2, 1, 3)
                                   ).reshape(nb * npack, t, d)
     lse = lse4.reshape(nb * npack, t)[:, None, :]
@@ -1318,7 +1569,8 @@ def _slab_rope_attention_fwd(q, k, v, cos_pd, sin_pd, block, n_heads,
 
 def _slab_rope_attention_bwd(block, n_heads, interpret, qk_int8, res, do):
     """Backward: rotate with the cheap folded-layout XLA rope, run the
-    per-head triangle bwd kernels, rotate dq/dk back by the inverse rotation
+    head-packed bwd kernels (per-head triangle fallback for shapes the
+    packed plan rejects), rotate dq/dk back by the inverse rotation
     (R(-theta): same cos, negated sin). With qk_int8 the backward recomputes
     EXACT bf16 scores but reuses the QUANTIZED forward's out/lse residuals,
     so the softmax probabilities don't renormalize — approximately
@@ -1330,14 +1582,30 @@ def _slab_rope_attention_bwd(block, n_heads, interpret, qk_int8, res, do):
     q, k, v, cos_pd, sin_pd, out, lse4 = res
     b, t, e = q.shape
     d = e // n_heads
+    scale = 1.0 / (d ** 0.5)
     cos_e = jnp.tile(cos_pd[:, :d], (1, n_heads))
     sin_e = jnp.tile(sin_pd[:, :d], (1, n_heads))
     qr = rope_ops.apply_rope_folded(q, cos_e, sin_e)
     kr = rope_ops.apply_rope_folded(k, cos_e, sin_e)
+    npack = PACK_LANES // d
+    if (n_heads % max(npack, 1) == 0 and e % (npack * d) == 0
+            and _bwd_packed_supported(t, d, npack,
+                                      jnp.dtype(q.dtype).itemsize, block,
+                                      interpret)):
+        ng = e // (npack * d)
+        pk = lambda x: _pack_groups(x, ng, npack * d)
+        dq4, dk4, dv4 = _bwd_packed(pk(qr), pk(kr), pk(v), pk(out), pk(do),
+                                    lse4, block=block, scale=scale,
+                                    interpret=interpret, causal=True,
+                                    npack=npack, d=d)
+        unpk = lambda x4: _unpack_groups(x4, b, ng)
+        dq = rope_ops.apply_rope_folded(unpk(dq4), cos_e, -sin_e)
+        dk = rope_ops.apply_rope_folded(unpk(dk4), cos_e, -sin_e)
+        return (dq, dk, unpk(dv4), jnp.zeros_like(cos_pd),
+                jnp.zeros_like(sin_pd))
     to3 = lambda x: jnp.transpose(x.reshape(b, t, n_heads, d),
                                   (0, 2, 1, 3)).reshape(b * n_heads, t, d)
     lse = lse4.reshape(b * n_heads, t)[:, None, :]
-    scale = 1.0 / (d ** 0.5)
     dqr, dkr, dv = _bwd(to3(qr), to3(kr), to3(v), to3(out), to3(do), lse,
                         block=block, scale=scale, interpret=interpret,
                         causal=True)

@@ -496,3 +496,54 @@ def test_qk_int8_fallback_signals():
                 qk_int8=True)
     finally:
         del os.environ["FK_QK_INT8_STRICT"]
+
+
+def test_packed_bwd_matches_per_head_bwd():
+    """The head-packed backward (_bwd_packed: dense [NB, T, P*D] tiles, all
+    four dots block-diagonal staged) must match the per-head triangle
+    backward (_bwd) on the same residuals — tight tolerance rather than
+    bit-exact (the packed dots' accumulation trees interleave exact zeros
+    around the same addends)."""
+    rng = np.random.default_rng(31)
+    t, p, h, d = 2048, 256, 8, 32
+    e = h * d
+    b = 1
+    npack = block_attention.PACK_LANES // d
+    ng = h // npack
+    pd = npack * d
+    q, k, v = rand_qkv(rng, b, t, h, d)
+    fold = lambda a: jnp.asarray(a).reshape(b, t, e)
+    pk = lambda x: block_attention._pack_groups(fold(x), ng, pd)
+    q4, k4, v4 = pk(q), pk(k), pk(v)
+    scale = 1.0 / (d ** 0.5)
+
+    out4, lse4 = block_attention._packed_call_single(
+        q4, k4, v4, block=p, scale=scale, interpret=True, causal=True,
+        npack=npack, qb=512, chunk=1024)
+    do4 = pk(rng.standard_normal((b, t, h, d)).astype(np.float32))
+
+    got = block_attention._bwd_packed(
+        q4, k4, v4, out4, do4, lse4, block=p, scale=scale, interpret=True,
+        causal=True, npack=npack, d=d)
+
+    nb = b * ng
+    to3 = lambda x4: jnp.transpose(
+        x4.reshape(nb, t, npack, d), (0, 2, 1, 3)).reshape(nb * npack, t, d)
+    lse = lse4.reshape(nb * npack, t)[:, None, :]
+    want = block_attention._bwd(
+        to3(q4), to3(k4), to3(v4), to3(out4), to3(do4), lse,
+        block=p, scale=scale, interpret=True, causal=True)
+    to4 = lambda x3: jnp.transpose(
+        x3.reshape(nb, npack, t, d), (0, 2, 1, 3)).reshape(nb, t, pd)
+    for g, w in zip(got, (to4(x) for x in want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_packed_bwd_gate_accepts_flagship():
+    """The hardware gate admits the flagship training shape (bf16, t=6144,
+    block=256, d=32) and rejects unalignable t."""
+    assert block_attention._bwd_packed_supported(6144, 32, 4, 2, 256)
+    assert not block_attention._bwd_packed_supported(6144 + 512, 32, 4, 2,
+                                                     256)  # t % 1024 != 0
+    assert not block_attention._bwd_packed_supported(6144, 128, 1, 2, 256)
