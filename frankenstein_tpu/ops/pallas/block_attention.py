@@ -762,7 +762,32 @@ def _slab_attention_fwd(q3, k3, v3, block: int, interpret: bool, causal: bool,
 def _slab_attention_bwd(block: int, interpret: bool, causal: bool, nh: int,
                         res, do3):
     q3, k3, v3, out, lse = res
-    scale = 1.0 / (q3.shape[-1] ** 0.5)
+    bh, t, d = q3.shape
+    scale = 1.0 / (d ** 0.5)
+    npack = (PACK_LANES // d
+             if d and PACK_LANES % d == 0 and d != PACK_LANES else 0)
+    if (npack > 1 and nh % npack == 0
+            and _bwd_packed_supported(t, d, npack,
+                                      jnp.dtype(q3.dtype).itemsize, block,
+                                      interpret)):
+        # pack [BH, T, D] heads into dense 128-lane groups for the packed
+        # backward (the 32-lane minor dim otherwise pays 4x padded DMA per
+        # pair; one layout transpose per tensor amortizes over all pairs)
+        b = bh // nh
+        ng = nh // npack
+        pd = npack * d
+        pk3 = lambda x3: jnp.transpose(
+            x3.reshape(b, ng, npack, t, d),
+            (0, 1, 3, 2, 4)).reshape(b * ng, t, pd)
+        lse4 = lse.reshape(b * ng, npack, t)
+        dq4, dk4, dv4 = _bwd_packed(
+            pk3(q3), pk3(k3), pk3(v3), pk3(out), pk3(do3), lse4,
+            block=block, scale=scale, interpret=interpret, causal=causal,
+            npack=npack, d=d)
+        unpk3 = lambda x4: jnp.transpose(
+            x4.reshape(b, ng, t, npack, d),
+            (0, 1, 3, 2, 4)).reshape(bh, t, d)
+        return unpk3(dq4), unpk3(dk4), unpk3(dv4)
     dq, dk, dv = _bwd(q3, k3, v3, out, do3, lse,
                       block=block, scale=scale, interpret=interpret,
                       causal=causal)

@@ -547,3 +547,28 @@ def test_packed_bwd_gate_accepts_flagship():
     assert not block_attention._bwd_packed_supported(6144 + 512, 32, 4, 2,
                                                      256)  # t % 1024 != 0
     assert not block_attention._bwd_packed_supported(6144, 128, 1, 2, 256)
+
+
+def test_dense_flash_grads_packed_bwd_match_xla():
+    """dense_flash_attention (the MAE decoder's kernel) at a shape that
+    qualifies for the packed backward (h=8, d=32, t % 1024 == 0,
+    causal=False): grads must match the XLA dense oracle."""
+    rng = np.random.default_rng(33)
+    t, h, d = 1024, 8, 32
+    q, k, v = rand_qkv(rng, 1, t, h, d)
+
+    def lp(q, k, v):
+        o = block_attention.dense_flash_attention(q, k, v, tile=256,
+                                                  interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def lx(q, k, v):
+        o = attention.dot_product_attention(q, k, v, impl="xla")
+        return jnp.sum(jnp.sin(o))
+
+    gp = jax.grad(lp, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v))
+    gx = jax.grad(lx, (0, 1, 2))(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v))
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
