@@ -255,6 +255,10 @@ class BrainWhisper(nn.Module):
 
     # ---------------- KV-cached decode ----------------
 
+    reorder_cache = staticmethod(
+        lambda cache, flat_idx, group=0: _reorder_whisper_cache(
+            cache, flat_idx, group=group))
+
     def prefill(self, tokens, mel, cache):
         enc = self.encode(mel)
         cross = [blk.cross_kv(enc) for blk in self.dec_blocks]
@@ -295,6 +299,18 @@ class BrainWhisper(nn.Module):
                             jnp.transpose(self.embed_tokens.astype(x.dtype)),
                             preferred_element_type=jnp.float32)[:, 0]
         return logits, (new_ks, new_vs, cross), length + 1
+
+
+def _reorder_whisper_cache(cache, flat_idx, group: int = 0):
+    """Beam-parent reorder for the whisper cache (decode/sampling._reorder
+    contract): gather the self-attention K/V rows only. The cross K/V —
+    the dominant cache bytes (the full encoder sequence per layer) — is
+    SKIPPED: beam parents never leave their sentence's w-row group and
+    cross rows within a group are identical replicas of one sentence's
+    encoding, so any group-local permutation of them is the identity."""
+    ks, vs, cross = cache
+    take = lambda c: jnp.take(c, flat_idx, axis=0)
+    return ([take(k) for k in ks], [take(v) for v in vs], cross)
 
 
 def init_whisper_cache(cfg: WhisperConfig, batch: int, max_len: int,
