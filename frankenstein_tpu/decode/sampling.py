@@ -224,7 +224,7 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                 beam_width: int = 3, length_normalize: bool = False,
                 eos_id: Optional[int] = None, pad_id: Optional[int] = None,
                 length_penalty: float = 0.0, int8_kv: bool = False,
-                int8_weights: bool = False):
+                int8_weights: bool = False, n_best: bool = False):
     """Deterministic batched beam search (the behavior of
     reference:gpt2_model.py:415-454, vectorized) with EOS handling the
     reference lacks: when ``eos_id`` is given, a beam that emits it is FROZEN
@@ -234,7 +234,10 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
     including EOS (unfinished beams count max_new_tokens).
 
     Returns (tokens [B, max_new_tokens], scores [B]) of the best beam
-    (scores are the normalized selection scores).
+    (scores are the normalized selection scores); with ``n_best=True``,
+    ALL beam_width hypotheses best-first as ([B, W, max_new_tokens],
+    [B, W]) — the n-best list for external rescoring
+    (models/llama.py:rescore_candidates).
     Prefill and the beam scan are separate jits (see generate()).
     """
     b, t0 = idx0.shape
@@ -257,7 +260,7 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                       max_new_tokens=max_new_tokens, beam_width=w,
                       eos_id=eos_id,
                       pad_id=eos_id if pad_id is None else pad_id,
-                      length_penalty=length_penalty)
+                      length_penalty=length_penalty, n_best=n_best)
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
@@ -272,7 +275,7 @@ def beam_from_prefill(module, params, logits, cache, length, *,
                       max_new_tokens: int, beam_width: int = 5,
                       eos_id: Optional[int] = None,
                       pad_id: Optional[int] = None,
-                      length_penalty: float = 1.0):
+                      length_penalty: float = 1.0, n_best: bool = False):
     """Deterministic beam search from an already-prefilled decode state —
     the seq2seq entry point (whisper/llama), where prefill is model-specific
     (encoder + cross-KV + prompt) and runs ONCE at batch B before the state
@@ -292,7 +295,7 @@ def beam_from_prefill(module, params, logits, cache, length, *,
                       max_new_tokens=max_new_tokens, beam_width=beam_width,
                       eos_id=eos_id,
                       pad_id=(eos_id if pad_id is None else pad_id),
-                      length_penalty=length_penalty)
+                      length_penalty=length_penalty, n_best=n_best)
 
 
 def _freeze_finished(logp, finished, pad_id):
@@ -307,11 +310,11 @@ def _freeze_finished(logp, finished, pad_id):
 
 @functools.partial(jax.jit, static_argnames=("module", "b", "max_new_tokens",
                                              "beam_width", "eos_id", "pad_id",
-                                             "length_penalty"))
+                                             "length_penalty", "n_best"))
 def _beam_scan(module, params, logits, cache, length, b, *,
                qweights=None, max_new_tokens: int, beam_width: int,
                eos_id: Optional[int], pad_id: Optional[int],
-               length_penalty: float):
+               length_penalty: float, n_best: bool = False):
     w = beam_width
     vocab = logits.shape[-1]
 
@@ -366,8 +369,14 @@ def _beam_scan(module, params, logits, cache, length, b, *,
             eff_len = jnp.full_like(gen_len, max_new_tokens)
         scores = scores / (eff_len.reshape(b, w).astype(jnp.float32)
                            ** length_penalty)
-    best = jnp.argmax(scores, axis=-1)                     # [B]
     toks = toks.reshape(b, w, max_new_tokens)
+    if n_best:
+        # all W hypotheses, best-first (the n-best list an external
+        # rescorer consumes — models/llama.py:rescore_candidates)
+        order = jnp.argsort(-scores, axis=-1)              # [B, W]
+        return (jnp.take_along_axis(toks, order[..., None], axis=1),
+                jnp.take_along_axis(scores, order, axis=1))
+    best = jnp.argmax(scores, axis=-1)                     # [B]
     return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
             jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
 

@@ -365,3 +365,25 @@ def test_beam_search_int8_weights_reach_decode_step():
         sampling.sampled_beam_search(model, params, idx0, None,
                                      jax.random.key(1), max_new_tokens=3,
                                      beam_width=2, int8_weights=True)
+
+
+def test_beam_n_best_list(tiny_gpt):
+    """n_best=True returns all W hypotheses best-first; row 0 equals the
+    best-only return, scores are the selection scores sorted descending,
+    and the rows feed rescore_candidates' [B, N, T] contract."""
+    model, params, cfg = tiny_gpt
+    rng = np.random.default_rng(11)
+    idx0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 1)))
+    prefix = jnp.asarray(rng.standard_normal((2, 2, cfg.n_embd)), jnp.float32)
+    kw = dict(max_new_tokens=5, beam_width=4)
+    best_toks, best_scores = sampling.beam_search(model, params, idx0,
+                                                  prefix, **kw)
+    all_toks, all_scores = sampling.beam_search(model, params, idx0, prefix,
+                                                n_best=True, **kw)
+    assert all_toks.shape == (2, 4, 5) and all_scores.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(all_toks[:, 0]),
+                                  np.asarray(best_toks))
+    np.testing.assert_allclose(np.asarray(all_scores[:, 0]),
+                               np.asarray(best_scores), rtol=1e-6)
+    s = np.asarray(all_scores)
+    assert (s[:, :-1] >= s[:, 1:] - 1e-6).all()
