@@ -306,3 +306,59 @@ def test_whisper_eval_beam_path(tiny_whisper):
         model, params, mels, ["a b"] * 4, tok,
         batch_size=2, max_new_tokens=5, beam_width=3)
     assert len(preds) == 4 and np.isfinite(wer)
+
+
+def test_whisper_beam_matches_hf_beam_no_eos():
+    """Beam parity with the reference's actual decode path: HF
+    generate(num_beams=4) on an in-memory tiny whisper must pick the same
+    sequence as beam_from_prefill, in the no-EOS regime where both reduce
+    to standard max-sum-logprob beam search (with EOS the algorithms
+    legitimately differ: HF finalizes hypotheses out of the active set,
+    ours freezes them in place — the reference's own GPT beams,
+    reference:gpt2_model.py:415-454, are freeze-style)."""
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFWC
+    from transformers import WhisperForConditionalGeneration
+    from frankenstein_tpu.decode import sampling
+
+    hf_cfg = HFWC(vocab_size=64, num_mel_bins=8, d_model=16,
+                  encoder_layers=2, encoder_attention_heads=2,
+                  decoder_layers=2, decoder_attention_heads=2,
+                  decoder_ffn_dim=64, encoder_ffn_dim=64,
+                  max_source_positions=16, max_target_positions=16,
+                  pad_token_id=0, bos_token_id=1, eos_token_id=2,
+                  decoder_start_token_id=3)
+    torch.manual_seed(2)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    hf.generation_config.forced_decoder_ids = [(1, 5), (2, 7)]
+    hf.generation_config.begin_suppress_tokens = None
+    hf.generation_config.suppress_tokens = None
+
+    params, cfg = whisper.params_from_hf_whisper(hf)
+    model = whisper.BrainWhisper(cfg)
+
+    rng = np.random.default_rng(6)
+    mel = rng.standard_normal((2, 8, 32)).astype(np.float32)
+    steps = 5
+    # clear EOS on the generation config itself — a generate(eos_token_id=
+    # None) kwarg is overridden by the model-specific default
+    hf.generation_config.eos_token_id = None
+    with torch.no_grad():
+        ref = hf.generate(input_features=torch.tensor(mel),
+                          max_new_tokens=steps, do_sample=False,
+                          num_beams=4).numpy()
+    # with eos None, HF may return the generated tail only or prompt +
+    # tail depending on version — the last `steps` columns are the tail
+    assert ref.shape[1] >= steps
+    ref_tail = ref[:, -steps:]
+
+    prompt = model.sot_prompt()
+    tok0 = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (2, 1))
+    cache = whisper.init_whisper_cache(cfg, 2, 16)
+    logits, cache, length = model.apply(params, tok0, jnp.asarray(mel),
+                                        cache,
+                                        method=whisper.BrainWhisper.prefill)
+    got, _ = sampling.beam_from_prefill(
+        model, params, logits, cache, length, max_new_tokens=steps,
+        beam_width=4, eos_id=None, length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(got), ref_tail)
