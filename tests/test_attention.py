@@ -498,21 +498,26 @@ def test_qk_int8_fallback_signals():
         del os.environ["FK_QK_INT8_STRICT"]
 
 
-def test_packed_bwd_matches_per_head_bwd():
+@pytest.mark.parametrize("t,p,dtype", [(2048, 256, np.float32),
+                                        (2048, 512, np.float32),
+                                        (2048, 256, "bfloat16")])
+def test_packed_bwd_matches_per_head_bwd(t, p, dtype):
     """The head-packed backward (_bwd_packed: dense [NB, T, P*D] tiles, all
     four dots block-diagonal staged) must match the per-head triangle
     backward (_bwd) on the same residuals — tight tolerance rather than
     bit-exact (the packed dots' accumulation trees interleave exact zeros
-    around the same addends)."""
+    around the same addends). Covers f32 and the production bf16 dtype
+    and two slab sizes."""
     rng = np.random.default_rng(31)
-    t, p, h, d = 2048, 256, 8, 32
+    h, d = 8, 32
     e = h * d
     b = 1
     npack = block_attention.PACK_LANES // d
     ng = h // npack
     pd = npack * d
     q, k, v = rand_qkv(rng, b, t, h, d)
-    fold = lambda a: jnp.asarray(a).reshape(b, t, e)
+    cast = lambda a: jnp.asarray(a).astype(jnp.bfloat16) if dtype == "bfloat16" else jnp.asarray(a)
+    fold = lambda a: cast(a).reshape(b, t, e)
     pk = lambda x: block_attention._pack_groups(fold(x), ng, pd)
     q4, k4, v4 = pk(q), pk(k), pk(v)
     scale = 1.0 / (d ** 0.5)
@@ -535,9 +540,11 @@ def test_packed_bwd_matches_per_head_bwd():
         block=p, scale=scale, interpret=True, causal=True)
     to4 = lambda x3: jnp.transpose(
         x3.reshape(nb, npack, t, d), (0, 2, 1, 3)).reshape(nb, t, pd)
+    tol = dict(atol=2e-5, rtol=1e-5) if dtype == np.float32 else \
+        dict(atol=3e-2, rtol=3e-2)   # bf16 operand rounding
     for g, w in zip(got, (to4(x) for x in want)):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g).astype(np.float32),
+                                   np.asarray(w).astype(np.float32), **tol)
 
 
 def test_packed_bwd_gate_accepts_flagship():
