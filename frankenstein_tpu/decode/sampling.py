@@ -263,12 +263,19 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                       length_penalty=length_penalty, n_best=n_best)
 
 
-@functools.partial(jax.jit, static_argnames=("w",))
-def _beam_expand(logits, cache, w):
+@functools.partial(jax.jit, static_argnames=("module", "w"))
+def _beam_expand(module, logits, cache, w):
     """Replicate a batch-B prefilled decode state to B*W beam rows (each
-    sentence's W beams are adjacent, matching the beam scan's group layout)."""
+    sentence's W beams are adjacent, matching the beam scan's group
+    layout). Default: every cache leaf has batch at AXIS 0 (the whisper
+    layout). A module whose cache differs (GPT/llama stack layers at axis
+    0 — those beam through ``beam_search``, which replicates BEFORE
+    prefill) must provide ``expand_cache(cache, w)``."""
     rep = lambda x: jnp.repeat(x, w, axis=0)
-    return rep(logits), jax.tree_util.tree_map(rep, cache)
+    expand = getattr(type(module), "expand_cache", None)
+    return (rep(logits),
+            expand(cache, w) if expand is not None
+            else jax.tree_util.tree_map(rep, cache))
 
 
 def beam_from_prefill(module, params, logits, cache, length, *,
@@ -290,7 +297,7 @@ def beam_from_prefill(module, params, logits, cache, length, *,
     Returns (tokens [B, max_new_tokens], scores [B]).
     """
     b = logits.shape[0]
-    logits, cache = _beam_expand(logits, cache, beam_width)
+    logits, cache = _beam_expand(module, logits, cache, beam_width)
     return _beam_scan(module, params, logits, cache, length, b,
                       max_new_tokens=max_new_tokens, beam_width=beam_width,
                       eos_id=eos_id,
