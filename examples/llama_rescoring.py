@@ -35,19 +35,6 @@ import jax
 import jax.numpy as jnp
 
 
-def candidates_for_rescoring(toks, eot_id):
-    """[B, W, T] beam tokens -> rescore_candidates input: everything from
-    the first EOT on (the frozen pad tail) becomes -100."""
-    toks = np.asarray(toks).copy()
-    b, w, t = toks.shape
-    flat = toks.reshape(b * w, t)
-    for row in flat:
-        hits = np.where(row == eot_id)[0]
-        if len(hits):
-            row[hits[0]:] = -100
-    return jnp.asarray(flat.reshape(b, w, t))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200,
@@ -126,7 +113,7 @@ def main():
         lm_params = lm.init(jax.random.key(7),
                             jnp.zeros((1, 4), jnp.int32))
 
-    cand_ids = candidates_for_rescoring(cands, eot)
+    cand_ids = llama.candidates_from_beams(cands, eot)
     best_idx, combined = llama.rescore_candidates(
         lm, lm_params, cand_ids, decoder_scores=dec_scores,
         alpha=args.alpha)

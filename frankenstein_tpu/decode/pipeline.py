@@ -33,8 +33,15 @@ def make_franky_predictor(model, params, tokenizer, *,
                           top_k: Optional[int] = 10,
                           beam_width: int = 0,
                           eot_id: int = GPT2_EOT,
-                          seed: int = 0) -> Callable:
-    """Returns predict_fn(xs [B, T, C]) -> list[str] (length B)."""
+                          seed: int = 0,
+                          rescorer=None) -> Callable:
+    """Returns predict_fn(xs [B, T, C]) -> list[str] (length B).
+
+    ``rescorer``: optional ``(lm_module, lm_params)`` or
+    ``(lm_module, lm_params, alpha)`` — with ``beam_width > 1`` the full
+    n-best list is re-ranked by interpolated LM log-probability
+    (models/llama.py:rescore_candidates; the reference README's
+    `... -> LLAMA 3` stage, unimplemented there)."""
     counter = {"n": 0}
     params = cast_params_for_inference(params, getattr(model, "dtype",
                                                        jnp.float32))
@@ -50,10 +57,21 @@ def make_franky_predictor(model, params, tokenizer, *,
             # EOS-aware beams + HF-default length penalty 1.0 (the reference's
             # beams keep accumulating log-prob past <|endoftext|>,
             # reference:gpt2_model.py:415-454 — a pure WER pessimization)
-            toks, _ = sampling.beam_search(model, params, idx0, prefix,
-                                           max_new_tokens=max_new_tokens,
-                                           beam_width=beam_width,
-                                           eos_id=eot_id, length_penalty=1.0)
+            toks, scores = sampling.beam_search(
+                model, params, idx0, prefix,
+                max_new_tokens=max_new_tokens, beam_width=beam_width,
+                eos_id=eot_id, length_penalty=1.0,
+                n_best=rescorer is not None)
+            if rescorer is not None:
+                from frankenstein_tpu.models import llama as llama_mod
+                lm_module, lm_params = rescorer[0], rescorer[1]
+                alpha = rescorer[2] if len(rescorer) > 2 else 0.5
+                cands = llama_mod.candidates_from_beams(toks, eot_id)
+                best, _ = llama_mod.rescore_candidates(
+                    lm_module, lm_params, cands,
+                    decoder_scores=scores, alpha=alpha)
+                toks = jnp.take_along_axis(
+                    toks, best[:, None, None], axis=1)[:, 0]
         else:
             toks = sampling.generate(model, params, idx0, prefix, rng,
                                      max_new_tokens=max_new_tokens,

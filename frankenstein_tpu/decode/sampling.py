@@ -91,11 +91,16 @@ def _topk_filter(logits: jnp.ndarray, k: Optional[int],
 
 @functools.partial(jax.jit, static_argnames=("module", "max_len"))
 def _prefill_args(module, params, idx0, prefix, max_len):
-    gpt_cfg = module.cfg.gpt if hasattr(module.cfg, "gpt") else module.cfg
     b = idx0.shape[0]
-    # cache in the model's compute dtype (bf16 halves decode HBM traffic)
-    cache = gpt2.init_cache(gpt_cfg, b, max_len,
-                            dtype=getattr(module, "dtype", jnp.float32))
+    # cache in the model's compute dtype (bf16 halves decode HBM traffic);
+    # modules with a non-GPT cache layout provide ``init_decode_cache``
+    # (llama [L, B, S, H, D]) — the GPT family defaults to gpt2.init_cache
+    dt = getattr(module, "dtype", jnp.float32)
+    if hasattr(type(module), "init_decode_cache"):
+        cache = module.init_decode_cache(b, max_len, dtype=dt)
+    else:
+        gpt_cfg = module.cfg.gpt if hasattr(module.cfg, "gpt") else module.cfg
+        cache = gpt2.init_cache(gpt_cfg, b, max_len, dtype=dt)
     logits, cache, length = module.apply(params, idx0, prefix, cache,
                                          method=type(module).prefill)
     return logits, cache, length

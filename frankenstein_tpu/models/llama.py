@@ -202,6 +202,12 @@ class Llama(nn.Module):
         from frankenstein_tpu.models.gpt2 import x_len
         return self._head(x)[:, 0], cache, jnp.int32(x_len(idx, prefix))
 
+    def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        """Model-specific KV cache for decode/sampling.py's generic drivers
+        (generate/beam_search build the cache through this hook; GPT-family
+        modules without it default to gpt2.init_cache)."""
+        return init_llama_cache(self.cfg, batch, max_len, dtype)
+
     def decode_step(self, token, cache, length, qweights=None):
         if qweights is not None:
             raise NotImplementedError(
@@ -223,6 +229,22 @@ def init_llama_cache(cfg: LlamaConfig, batch: int, max_len: int,
                      dtype=jnp.float32):
     shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def candidates_from_beams(toks, eot_id: int):
+    """[B, W, T] n-best beam tokens (beam_search(n_best=True)) -> the
+    rescore_candidates input: everything from the first EOT on (the
+    frozen pad tail) becomes IGNORE_INDEX so sequence_logprob only prices
+    real tokens. Host-side numpy."""
+    import numpy as np
+    toks = np.asarray(toks).copy()
+    b, w, t = toks.shape
+    flat = toks.reshape(b * w, t)
+    for row in flat:
+        hits = np.where(row == eot_id)[0]
+        if len(hits):
+            row[hits[0]:] = IGNORE_INDEX
+    return jnp.asarray(flat.reshape(b, w, t))
 
 
 def rescore_candidates(module, params, candidates, decoder_scores=None,

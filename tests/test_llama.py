@@ -78,6 +78,16 @@ def test_hf_llama_import_parity():
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-3)
 
 
+def test_candidates_from_beams_masks_pad_tail():
+    # first EOT and the frozen pad tail behind it become IGNORE_INDEX;
+    # beams without EOT pass through untouched
+    toks = jnp.asarray([[[5, 9, 9, 3], [1, 2, 3, 4]]], jnp.int32)
+    out = llama.candidates_from_beams(toks, eot_id=9)
+    assert out.shape == (1, 2, 4)
+    np.testing.assert_array_equal(np.asarray(out[0, 0]), [5, -100, -100, -100])
+    np.testing.assert_array_equal(np.asarray(out[0, 1]), [1, 2, 3, 4])
+
+
 def test_rescoring_prefers_probable_sequence(tiny):
     model, params, cfg = tiny
     rng = np.random.default_rng(3)

@@ -52,6 +52,33 @@ def test_predictor_to_submission(tmp_path):
     assert len(sents_b) == 3
 
 
+def test_predictor_with_llama_rescorer():
+    """The full reference-README chain (brain -> GPT beams -> LLaMA rescore):
+    alpha=0 (pure decoder scores) must reproduce the plain beam output since
+    the n-best list is sorted best-first; alpha>0 must still produce valid
+    strings."""
+    from frankenstein_tpu.models import llama
+
+    model, params, cfg = tiny_franky()
+    tok = tokenizers.ByteTokenizer(eot_id=299)
+    lm_cfg = llama.tiny_llama_config(vocab_size=300)
+    lm = llama.Llama(lm_cfg)
+    lm_params = lm.init(jax.random.key(7), jnp.zeros((1, 4), jnp.int32))
+
+    xs = np.random.default_rng(2).standard_normal((2, 32, 8)).astype(np.float32)
+    plain = pipeline.make_franky_predictor(
+        model, params, tok, max_new_tokens=6, beam_width=3, eot_id=299)(xs)
+    alpha0 = pipeline.make_franky_predictor(
+        model, params, tok, max_new_tokens=6, beam_width=3, eot_id=299,
+        rescorer=(lm, lm_params, 0.0))(xs)
+    assert alpha0 == plain
+
+    rescored = pipeline.make_franky_predictor(
+        model, params, tok, max_new_tokens=6, beam_width=3, eot_id=299,
+        rescorer=(lm, lm_params, 0.5))(xs)
+    assert len(rescored) == 2 and all(isinstance(s, str) for s in rescored)
+
+
 def test_sliding_windows():
     sig = np.arange(100 * 2, dtype=np.float32).reshape(100, 2)
     ws = list(streaming.sliding_windows(sig, window_size=32, stride=8))
