@@ -114,6 +114,22 @@ def franky_fwd_flops_per_sample(cfg) -> float:
     return franky_encode_flops_per_sample(cfg) + gpt
 
 
+def franky_llama_fwd_flops_per_sample(cfg) -> float:
+    """Forward FLOPs of one FrankyLlama sample (encoder + Perceiver +
+    LLaMA with GQA-sized kv projections)."""
+    lm = cfg.lm
+    t_full = cfg.brain.n_output_tokens + cfg.max_tokens
+    hd = lm.head_dim
+    # SwiGLU stack with full-width qkv, then subtract the GQA kv savings:
+    # block_stack prices k/v at n_heads*head_dim; llama uses n_kv_heads
+    stack = block_stack_fwd_flops(t_full, lm.dim, lm.hidden_dim, lm.n_heads,
+                                  hd, lm.n_layers, n_mlp_mats=3)
+    gqa_save = (lm.n_layers * t_full
+                * 2 * lm.dim * 2 * (lm.n_heads - lm.n_kv_heads) * hd)
+    head = 2 * lm.dim * lm.vocab_size * cfg.max_tokens
+    return franky_encode_flops_per_sample(cfg) + stack - gqa_save + head
+
+
 def gpt_decode_hbm_bytes(gcfg, batch: int, cache_len: int, n_tokens: int,
                          *, weight_bytes: int = 2, cache_bytes: int = 2,
                          lm_head_bytes: int = None,

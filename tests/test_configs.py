@@ -40,6 +40,20 @@ def test_yaml_configs_parse(name):
     assert tc.batch_size == 256
 
 
+def test_franky_llama_yaml_parses():
+    import yaml
+
+    import train as train_cli
+    from frankenstein_tpu.models.franky import FrankyLlamaConfig
+    doc = yaml.safe_load((CONFIGS / "franky_llama.yaml").read_text())
+    model, cfg = train_cli.config_from_yaml(doc)
+    assert model == "franky-llama"
+    assert isinstance(cfg, FrankyLlamaConfig)
+    assert cfg.brain.output_dim == cfg.lm.dim == 1024
+    r = FrankyLlamaConfig.from_dict(cfg.to_dict())
+    assert r == cfg and hash(r) == hash(cfg)
+
+
 def test_franky_yaml_is_the_flagship():
     """configs/franky.yaml reproduces the flagship geometry exactly
     (reference:franky_baseline_gpt2.ipynb cell 5)."""

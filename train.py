@@ -31,6 +31,11 @@ def make_spec(name, cfg, dtype, window: int = 768):
             module=Franky(cfg, dtype=dtype), needs_train_flag=True,
             rng_names=("dropout",) if cfg.gpt.dropout > 0 else (),
             flops_per_sample=profiling.franky_fwd_flops_per_sample(cfg))
+    if name == "franky-llama":
+        from frankenstein_tpu.models.franky import FrankyLlama
+        return TrainableSpec(
+            module=FrankyLlama(cfg, dtype=dtype),
+            flops_per_sample=profiling.franky_llama_fwd_flops_per_sample(cfg))
     if name == "mae":
         from frankenstein_tpu.models.brainformer import MAE
         return TrainableSpec(
@@ -72,6 +77,11 @@ def config_from_args(args):
                                   output_dim=768),
             gpt=GPTConfig(dropout=args.dropout, moe_experts=moe,
                           moe_k=args.moe_k))
+    if args.model == "franky-llama":
+        from frankenstein_tpu.models.franky import FrankyLlamaConfig
+        return FrankyLlamaConfig(
+            brain=PerceiverConfig(encoder=mae_cfg, n_output_tokens=32,
+                                  output_dim=1024))
     if args.model == "mae":
         return mae_cfg
     if args.model == "brainformer":
@@ -105,6 +115,9 @@ def config_from_yaml(doc):
     if name == "simple_mae":
         return name, (cfg_lib.SimpleEncoderConfig.from_dict(mc.get("encoder", {})),
                       cfg_lib.SimpleMAEConfig.from_dict(mc.get("decoder", {})))
+    if name == "franky-llama":
+        from frankenstein_tpu.models.franky import FrankyLlamaConfig
+        return name, FrankyLlamaConfig.from_dict(mc)
     cls = getattr(cfg_lib, MODEL_CONFIG_CLASSES[name])
     return name, cls.from_dict(mc)
 
@@ -120,7 +133,7 @@ def build_model(args):
         name, cfg = config_from_yaml(doc)
         args.model = name
         # geometry for the data pipeline follows the YAML model
-        if name in ("franky", "moe-gpt", "brainformer"):
+        if name in ("franky", "moe-gpt", "franky-llama", "brainformer"):
             args.window = cfg.brain.encoder.window_size \
                 if name != "brainformer" else cfg.encoder.window_size
             args.channels = cfg.brain.encoder.n_electrodes \
@@ -162,8 +175,8 @@ def main():
                    help="YAML config (see configs/); explicitly passed CLI "
                         "flags override its train section")
     p.add_argument("--model", default="franky",
-                   choices=["franky", "moe-gpt", "mae", "brainformer",
-                            "vqvae", "simple_mae"])
+                   choices=["franky", "moe-gpt", "franky-llama", "mae",
+                            "brainformer", "vqvae", "simple_mae"])
     p.add_argument("--moe-experts", type=int, default=8,
                    help="expert count for --model moe-gpt")
     p.add_argument("--moe-k", type=int, default=2,
