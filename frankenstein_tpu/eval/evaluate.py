@@ -27,13 +27,20 @@ def evaluate_franky_wer(model, params, dataset, tokenizer, *,
                         batch_size: int = 32, max_new_tokens: int = 25,
                         beam_width: int = 0, top_k: int = 10,
                         eot_id: int = GPT2_EOT, seed: int = 0,
+                        rescorer=None,
                         normalize: Callable = process_string):
-    """Decode every trial, normalize, return (corpus WER, predictions)."""
+    """Decode every trial, normalize, return (corpus WER, predictions).
+
+    Works for any module with the predictor contract (Franky, FrankyLlama).
+    ``rescorer=(lm, lm_params[, alpha])`` with ``beam_width > 1`` re-ranks
+    each trial's n-best list by interpolated LM log-prob before scoring
+    (decode/pipeline.py)."""
     from frankenstein_tpu.decode.pipeline import make_franky_predictor
     predict = make_franky_predictor(model, params, tokenizer,
                                     max_new_tokens=max_new_tokens,
                                     top_k=top_k, beam_width=beam_width,
-                                    eot_id=eot_id, seed=seed)
+                                    eot_id=eot_id, seed=seed,
+                                    rescorer=rescorer)
     preds, refs = [], []
     n = len(dataset)
     for s in range(0, n, batch_size):

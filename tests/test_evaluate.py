@@ -25,6 +25,32 @@ def test_evaluate_franky_wer():
     assert np.isfinite(wer)
 
 
+def test_evaluate_franky_llama_wer_with_rescorer():
+    """The eval harness drives the FrankyLlama composite and threads a
+    rescorer through the beam path (the full north-star serving chain)."""
+    from frankenstein_tpu.models import llama
+    from tests.test_franky_llama import tiny_cfg
+    from frankenstein_tpu.models.franky import FrankyLlama
+
+    cfg = tiny_cfg()
+    model = FrankyLlama(cfg)
+    x = jnp.ones((1, 32, 8))
+    y = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.key(0), x, y)
+
+    tok = tokenizers.ByteTokenizer(eot_id=299)
+    ds = datasets.BrainDataset.synthetic(
+        n_trials=5, tokenize_function=tokenizers.get_tokenizer(tok),
+        n_electrodes=8, max_input_len=32, max_tokens=8)
+
+    lm = llama.Llama(llama.tiny_llama_config(vocab_size=300))
+    lm_params = lm.init(jax.random.key(7), jnp.zeros((1, 4), jnp.int32))
+    wer, preds = evaluate.evaluate_franky_wer(
+        model, params, ds, tok, batch_size=4, max_new_tokens=6,
+        beam_width=2, eot_id=299, rescorer=(lm, lm_params, 0.5))
+    assert len(preds) == 5 and np.isfinite(wer)
+
+
 def test_whisper_through_trainer_and_wer(tmp_path):
     cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=16,
                         n_audio_head=2, n_audio_layer=1, n_vocab=64,

@@ -76,7 +76,8 @@ def config_from_args(args):
             brain=PerceiverConfig(encoder=mae_cfg, n_output_tokens=32,
                                   output_dim=768),
             gpt=GPTConfig(dropout=args.dropout, moe_experts=moe,
-                          moe_k=args.moe_k))
+                          moe_k=args.moe_k,
+                          moe_capacity=getattr(args, "moe_capacity", 1.25)))
     if args.model == "franky-llama":
         from frankenstein_tpu.models.franky import FrankyLlamaConfig
         return FrankyLlamaConfig(
@@ -181,6 +182,9 @@ def main():
                    help="expert count for --model moe-gpt")
     p.add_argument("--moe-k", type=int, default=2,
                    help="experts routed per token for --model moe-gpt")
+    p.add_argument("--moe-capacity", type=float, default=1.25,
+                   help="expert capacity factor for --model moe-gpt "
+                        "(tokens over cap are dropped; residual carries them)")
     p.add_argument("--data", default="synthetic",
                    help="'synthetic' or path to competitionData/")
     p.add_argument("--exp-name", default=None)
