@@ -195,6 +195,22 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
     return result
 
 
+def _latency():
+    """Online-serving latency rows: one REQUEST (encode + 25-token cached
+    decode for all sentences in it) at small batch, headline config. The
+    throughput headline amortizes encode over 128 sentences; a live BCI
+    session cares about the wall-clock of ONE window -> sentence turn."""
+    rows = []
+    for batch in (8, 32):
+        print(f"[latency] batch={batch}", file=sys.stderr, flush=True)
+        r = main(batch=batch, int8_kv=False, int8_weights=True,
+                 with_baseline=False)
+        r["request_latency_ms"] = round(
+            r["encode_ms_per_batch"] + r["decode_ms_per_batch"], 1)
+        rows.append(r)
+    print(json.dumps({"latency": rows}), flush=True)
+
+
 def _sweep():
     """Batch x KV-precision sweep (BASELINE.md round-3 table): the int8 KV
     cache halves the cache footprint precisely to buy decode-batch headroom —
@@ -333,10 +349,13 @@ if __name__ == "__main__":
         # measurement process (under the parent's watchdog)
         if "--sweep" in argv:
             _sweep()
+        elif "--latency" in argv:
+            _latency()
         else:
             main()
         sys.exit(0)
-    child_args = ["--sweep"] if "--sweep" in argv else []
+    child_args = (["--sweep"] if "--sweep" in argv
+                  else ["--latency"] if "--latency" in argv else [])
     # 1700 s < the driver's observed ~2000 s window (VERDICT r3 #2); sweeps
     # are run manually, not by the driver, so they keep a wide budget.
     budget = float(os.environ.get("BENCH_BUDGET_S",
