@@ -29,6 +29,21 @@ from frankenstein_tpu.config import _SerializableMixin, IGNORE_INDEX
 from frankenstein_tpu.models.gpt2 import cross_entropy_ignore
 from frankenstein_tpu.ops import attention as attn_ops
 from frankenstein_tpu.ops import norms, rope as rope_ops
+from frankenstein_tpu.ops.pallas import fused_llama_decode
+
+
+def _stack_llama_decode_weights(layer_params, cdt):
+    """The stacked-[L] dict the fused LLaMA decode kernel consumes, from the
+    ``nn.scan`` layer-stack params; matmul kernels cast to the compute
+    dtype, RMSNorm weights stay f32 (the kernel lifts them itself)."""
+    w = lambda name: layer_params[name]["kernel"].astype(cdt)
+    return {
+        "norm1_w": layer_params["input_norm"]["weight"],
+        "wq": w("q_proj"), "wk": w("k_proj"), "wv": w("v_proj"),
+        "wo": w("o_proj"),
+        "norm2_w": layer_params["post_attn_norm"]["weight"],
+        "wg": w("gate_proj"), "wu": w("up_proj"), "wd": w("down_proj"),
+    }
 
 
 @dataclass(frozen=True)
@@ -105,17 +120,29 @@ class LlamaBlock(nn.Module):
         q = rope_ops.apply_rope(q, jnp.broadcast_to(rope, (b,) + rope.shape[1:]))
         k = rope_ops.apply_rope(k, jnp.broadcast_to(rope, (b,) + rope.shape[1:]))
 
-        # GQA: repeat kv heads up to n_heads
+        # GQA: repeat kv heads up to n_heads (the cache stores the EXPANDED
+        # heads so decode reads need no repeat)
         if nkv != nh:
             rep = nh // nkv
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
+        # heads stay FOLDED in the cache ([B, S, E], same trade as
+        # models/gpt2.py:init_cache — the [B, S, H, D] layout gets (8, 128)
+        # tiling on its (H, D) minor dims and every kernel-boundary reshape
+        # becomes a physical retiling copy of the whole cache); attention
+        # unfolds per use
+        s = k_cache.shape[1]
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
+            k_cache, k.reshape(b, t, nh * hd).astype(k_cache.dtype),
+            (0, length, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
-        y = attn_ops.cached_attention(q, k_cache, v_cache, length + 1)
+            v_cache, v.reshape(b, t, nh * hd).astype(v_cache.dtype),
+            (0, length, 0))
+        y = attn_ops.cached_attention(q,
+                                      k_cache.reshape(b, s, nh, hd),
+                                      v_cache.reshape(b, s, nh, hd),
+                                      length + 1)
         x = x + dense(c.dim, "o_proj")(y.reshape(b, t, nh * hd))
 
         h = _RMS(c.dim, c.norm_eps, name="post_attn_norm")(x)
@@ -209,9 +236,39 @@ class Llama(nn.Module):
         return init_llama_cache(self.cfg, batch, max_len, dtype)
 
     def decode_step(self, token, cache, length, qweights=None):
+        """One decode step. With ``FK_LLAMA_FUSED=1`` on TPU, supported
+        geometries run all blocks in ONE fused Pallas program
+        (ops/pallas/fused_llama_decode.py — RMSNorm + in-kernel rope + GQA
+        attention + SwiGLU at the step's HBM roofline); otherwise the
+        scanned XLA path."""
         if qweights is not None:
             raise NotImplementedError(
                 "Llama has no w8a16 decode path; pass int8_weights=False")
+        c = self.cfg
+        k_cache = cache[0]
+        b, s = k_cache.shape[1], k_cache.shape[2]
+        # default OFF until the kernel is priced on the real toolchain — a
+        # tunnel outage blocked the TPU compile check when this landed;
+        # interpret-mode parity is green (tests/test_llama.py). Flip the
+        # default to "1" once a TPU parity+pricing run is recorded.
+        import os
+        if (os.environ.get("FK_LLAMA_FUSED", "0") == "1"
+                and c.moe_experts == 0 and fused_llama_decode.supported(
+                    c.n_heads, c.head_dim, c.n_kv_heads, c.hidden_dim, b, s)):
+            x = jnp.take(self.embed, token, axis=0).astype(self.dtype)
+            table = rope_ops.build_rope_cache(c.head_dim, s, c.rope_theta)
+            cos_e, sin_e = rope_ops.folded_tables(table, c.n_heads)
+            cos = jax.lax.dynamic_slice_in_dim(cos_e, length, 1)
+            sin = jax.lax.dynamic_slice_in_dim(sin_e, length, 1)
+            stacked = _stack_llama_decode_weights(
+                self.variables["params"]["layers"], self.dtype)
+            xo, kc, vc = fused_llama_decode.fused_llama_decode_blocks(
+                x, stacked, k_cache, cache[1], length, cos, sin,
+                n_layers=c.n_layers, n_heads=c.n_heads,
+                head_dim=c.head_dim, n_kv_heads=c.n_kv_heads,
+                hidden=c.hidden_dim, eps=c.norm_eps)
+            x = self.norm_f(xo[:, None])
+            return self._head(x)[:, 0], (kc, vc), length + 1
         x = jnp.take(self.embed, token[:, None], axis=0).astype(self.dtype)
         (x, _, _), cache = self.layers((x, length, jnp.float32(0.0)), cache)
         x = self.norm_f(x)
@@ -227,7 +284,13 @@ class Llama(nn.Module):
 
 def init_llama_cache(cfg: LlamaConfig, batch: int, max_len: int,
                      dtype=jnp.float32):
-    shape = (cfg.n_layers, batch, max_len, cfg.n_heads, cfg.head_dim)
+    """Fixed-shape stacked KV cache: ([L, B, S, E], [L, B, S, E]) with the
+    GQA kv heads pre-expanded to n_heads and heads FOLDED into E — the same
+    layout rationale as models/gpt2.py:init_cache (clean (8, 128) tiling,
+    no whole-cache retiling copies at kernel boundaries), and the layout
+    the streaming Pallas beam reorder (ops/pallas/beam_reorder.py) and the
+    fused decode kernels expect."""
+    shape = (cfg.n_layers, batch, max_len, cfg.n_heads * cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 

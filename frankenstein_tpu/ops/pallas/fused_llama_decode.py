@@ -1,0 +1,298 @@
+"""Fused single-token LLaMA decode step: all transformer layers in ONE
+Pallas program.
+
+The LLaMA twin of ops/pallas/fused_decode.py (see that module's docstring
+for the architecture rationale — the unfused scanned step round-trips
+activations through HBM and pays per-op overheads once per layer on a step
+that is pure bandwidth). Differences from the GPT kernel:
+
+- RMSNorm (no mean subtraction, no bias) instead of LayerNorm;
+- rotary position embedding applied IN-KERNEL to the new q/k row: the
+  caller passes the folded [1, E] cos/sin table rows for position
+  ``length`` and the kernel rotates with the pltpu.roll pair-swap idiom
+  proven in ops/pallas/block_attention.py:_rot_rows (interleaved-pair
+  convention, matching ops/rope.py);
+- GQA: the cache stores kv heads PRE-EXPANDED to n_heads (the
+  models/llama.py:init_llama_cache convention), so the kernel expands the
+  freshly projected [BC, E_kv] k/v rows to [BC, E] with one dot against a
+  constant replication matrix before rotation/storage;
+- SwiGLU MLP (three matmuls, silu gate) instead of GELU;
+- no quantized modes (the LLaMA path has no int8 KV / w8a16 contract).
+
+The reference has no LLaMA at all (its README names the stage as intent,
+reference:README.md:19) and no cached decode for any model
+(reference:models/gpt2_model.py:328-353).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+NEG_INF = float(np.finfo(np.float32).min)
+VMEM_LIMIT = 114 * 1024 * 1024
+_HEADROOM = 0.88
+
+
+def _rms_f32(x, w, eps):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(ms + eps) * w.astype(jnp.float32)
+
+
+def _rot_row(x, cos, sin):
+    """Rotate [R, E] lanes with [1, E] folded tables (interleaved pairs:
+    out[2i] = x[2i] c_i - x[2i+1] s_i; out[2i+1] = x[2i] s_i + x[2i+1] c_i).
+    f32 math, cast back to x.dtype — same rounding point as ops/rope.py."""
+    from jax.experimental.pallas import tpu as pltpu
+    xf = x.astype(jnp.float32)
+    even = (jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1) % 2) == 0
+    lanes = xf.shape[-1]
+    xs = jnp.where(even, pltpu.roll(xf, lanes - 1, 1), pltpu.roll(xf, 1, 1))
+    sign = jnp.where(even, -1.0, 1.0)
+    return (xf * cos.astype(jnp.float32)
+            + xs * (sign * sin.astype(jnp.float32))).astype(x.dtype)
+
+
+def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
+            norm2, wg, wu, wd, kc_ref, vc_ref,
+            xout_ref, knew_ref, vnew_ref, x_scr, *,
+            n_layers: int, n_heads: int, head_dim: int, seq: int, bc: int,
+            eps: float, compute_dtype):
+    l = pl.program_id(0)
+    bi = pl.program_id(1)
+    scale = 1.0 / np.sqrt(head_dim)
+    rows = pl.ds(bi * bc, bc)
+    cdt = compute_dtype
+    e = n_heads * head_dim
+
+    @pl.when(l == 0)
+    def _load():
+        x_scr[rows] = x_ref[...].astype(jnp.float32)
+
+    x = x_scr[rows]                                     # [BC, E] f32
+
+    # ---- attention sublayer --------------------------------------------
+    h = _rms_f32(x, norm1[0, 0], eps)
+    dot = lambda a, w: jax.lax.dot_general(
+        a.astype(cdt), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q = _rot_row(dot(h, wq[0]), cos_ref[...], sin_ref[...])     # [BC, E] f32
+    # GQA expansion: [BC, E_kv] @ replication [E_kv, E] -> [BC, E]
+    # (rotation commutes with head replication, so rotate AFTER expanding
+    # with the same folded q-width tables)
+    k_new = _rot_row(dot(dot(h, wk[0]).astype(cdt), rep_ref[...]),
+                     cos_ref[...], sin_ref[...])
+    v_new = dot(dot(h, wv[0]).astype(cdt), rep_ref[...])
+
+    # new rows blend into the 8-row cache tile around ``length`` and write
+    # STRAIGHT INTO the aliased cache outputs (scalar-prefetch output index
+    # map; Mosaic needs the second-minor out-block dim divisible by 8)
+    base = (len_ref[0] // 8) * 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+           == (len_ref[0] - base))
+    ktile = kc_ref[0, :, pl.ds(base, 8)]
+    vtile = vc_ref[0, :, pl.ds(base, 8)]
+    row_k = k_new.astype(knew_ref.dtype)
+    row_v = v_new.astype(vnew_ref.dtype)
+    knew_ref[0] = jnp.where(sel, row_k[:, None, :], ktile)
+    vnew_ref[0] = jnp.where(sel, row_v[:, None, :], vtile)
+
+    # all-head attention on the folded layout (per-head reductions ride tiny
+    # MXU dots against 0/1 segment matrices — see fused_decode.py)
+    kc = kc_ref[0]                                      # [BC, S, E]
+    vc = vc_ref[0]
+    bc_, _, e_ = kc.shape
+    lane_head = (jax.lax.broadcasted_iota(jnp.int32, (e, n_heads), 0)
+                 // head_dim)
+    seg_sum = (lane_head ==
+               jax.lax.broadcasted_iota(jnp.int32, (e, n_heads), 1)
+               ).astype(jnp.float32)                    # [E, H]
+    expand = seg_sum.T                                  # [H, E]
+
+    prod = q.astype(cdt)[:, None, :] * kc.astype(cdt)   # [BC, S, E]
+    s = jax.lax.dot_general(prod.reshape(bc_ * seq, e_),
+                            seg_sum.astype(cdt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s.reshape(bc_, seq, n_heads) * scale            # [BC, S, H]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, seq, 1), 1)
+             < len_ref[0])
+    s = jnp.where(valid, s, NEG_INF)
+    s_own = jax.lax.dot_general(q * k_new.astype(jnp.float32), seg_sum,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+    m = jnp.maximum(jnp.max(s, axis=1), s_own)          # [BC, H]
+    p = jnp.exp(s - m[:, None, :])
+    p_own = jnp.exp(s_own - m)
+    denom = jnp.sum(p, axis=1) + p_own                  # [BC, H]
+    p = p / denom[:, None, :]
+    p_wide = jax.lax.dot_general(p.reshape(bc_ * seq, n_heads).astype(cdt),
+                                 expand.astype(cdt),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(cdt)
+    o = jnp.sum((p_wide.reshape(bc_, seq, e_)
+                 * vc.astype(cdt)).astype(jnp.float32), axis=1)  # [BC, E]
+    own_wide = jax.lax.dot_general(p_own / denom, expand,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    o = o + own_wide * v_new.astype(jnp.float32)
+    x = x + dot(o, wo[0])
+
+    # ---- SwiGLU MLP ------------------------------------------------------
+    h2 = _rms_f32(x, norm2[0, 0], eps)
+    g = dot(h2, wg[0])
+    u = dot(h2, wu[0])
+    act = (g * jax.nn.sigmoid(g) * u).astype(cdt)
+    x = x + jax.lax.dot_general(act, wd[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    x_scr[rows] = x
+
+    @pl.when(l == n_layers - 1)
+    def _store():
+        xout_ref[...] = x.astype(xout_ref.dtype)
+
+
+def _vmem_estimate(bc: int, s: int, e: int, e_kv: int, f: int) -> int:
+    compute = 2                                     # bf16 weights/temps
+    weights = (2 * e * e + 2 * e * e_kv + 2 * e * f + f * e
+               + 2 * e + e_kv * e) * compute
+    caches = 2 * bc * s * e * compute
+    # live [BC, S, E] temporaries (QK product, expanded probs, AV product)
+    # + one f32 AV accumulate + activations incl. the [BC, F] MLP pair
+    stack = bc * s * e * (3 * compute + 4) + 4 * bc * f * 4 + 12 * bc * e * 4
+    return 2 * (weights + caches) + stack
+
+
+def _pick_batch_chunk(b: int, s: int, e: int, e_kv: int, f: int) -> int:
+    for bc in (128, 64, 32, 16, 8):
+        if b % bc != 0:
+            continue
+        if _vmem_estimate(bc, s, e, e_kv, f) < VMEM_LIMIT * _HEADROOM:
+            return bc
+    return 0
+
+
+def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
+              b: int, s: int, interpret: bool = False) -> bool:
+    """Static gate; callers fall back to the scanned XLA path."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    e, e_kv = n_heads * head_dim, n_kv_heads * head_dim
+    if s % 8 != 0 or b % 8 != 0:
+        return False
+    if e % 128 != 0 or e_kv % 128 != 0 or hidden % 128 != 0:
+        return False
+    if head_dim % 2 != 0:
+        return False
+    return _pick_batch_chunk(b, s, e, e_kv, hidden) > 0
+
+
+def replication_matrix(n_heads: int, n_kv_heads: int, head_dim: int,
+                       dtype=jnp.bfloat16):
+    """[E_kv, E] 0/1 matrix expanding folded kv lanes to folded q lanes
+    (head h of n_heads reads kv head h // (n_heads // n_kv_heads))."""
+    e, e_kv = n_heads * head_dim, n_kv_heads * head_dim
+    rep = n_heads // n_kv_heads
+    ql = np.arange(e)
+    kvl = (ql // head_dim // rep) * head_dim + ql % head_dim
+    m = np.zeros((e_kv, e), np.float32)
+    m[kvl, ql] = 1.0
+    return jnp.asarray(m, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_layers", "n_heads", "head_dim", "n_kv_heads", "hidden", "eps",
+    "interpret"))
+def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
+                              cos_row, sin_row, *,
+                              n_layers: int, n_heads: int, head_dim: int,
+                              n_kv_heads: int, hidden: int, eps: float,
+                              interpret: bool = False):
+    """Run all LLaMA blocks for ONE token position.
+
+    x: [B, E] embedded token; stacked: dict of [L, ...] params (keys
+    norm1_w wq wk wv wo norm2_w wg wu wd, kernels in [in, out] layout,
+    matmuls pre-cast to the compute dtype); k_cache/v_cache: [L, B, S, E]
+    folded, GQA-expanded (models/llama.py:init_llama_cache); length: []
+    int32 valid-row count; cos_row/sin_row: [1, E] folded rope tables for
+    position ``length`` (ops/rope.py:folded_tables rows).
+
+    Returns (x_out [B, E], k_cache', v_cache') with the caches updated IN
+    PLACE (outputs alias inputs; the kernel writes the new rows itself —
+    same contract as fused_decode.fused_decode_blocks).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, e = x.shape
+    s = k_cache.shape[2]
+    e_kv = n_kv_heads * head_dim
+    cdt = stacked["wq"].dtype
+    bc = _pick_batch_chunk(b, s, e, e_kv, hidden)
+    assert bc > 0, "caller must gate on supported()"
+    grid = (n_layers, b // bc)
+
+    mat = lambda d1, d2: pl.BlockSpec((1, d1, d2),
+                                      lambda l, bi, len_r: (l, 0, 0))
+    vec = lambda d: pl.BlockSpec((1, 1, d), lambda l, bi, len_r: (l, 0, 0))
+    const = lambda d1, d2: pl.BlockSpec((d1, d2),
+                                        lambda l, bi, len_r: (0, 0))
+    in_specs = [
+        pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x
+        const(1, e), const(1, e),                                     # rope
+        const(e_kv, e),                                               # rep
+        vec(e),                                                       # norm1
+        mat(e, e), mat(e, e_kv), mat(e, e_kv), mat(e, e),             # qkvo
+        vec(e),                                                       # norm2
+        mat(e, hidden), mat(e, hidden), mat(hidden, e),               # mlp
+        pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
+        pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
+        pl.BlockSpec((1, bc, 8, e),
+                     lambda l, bi, len_r: (l, bi, len_r[0] // 8, 0)),
+        pl.BlockSpec((1, bc, 8, e),
+                     lambda l, bi, len_r: (l, bi, len_r[0] // 8, 0)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((b, e), jnp.float32)],
+    )
+    p = stacked
+    v3 = lambda a: a[:, None, :]
+    rep = replication_matrix(n_heads, n_kv_heads, head_dim, cdt)
+    # cache outputs ALIAS the cache inputs (operands 15/16 incl. the scalar
+    # prefetch at 0): the kernel writes the new rows in place
+    xo, kc_out, vc_out = pl.pallas_call(
+        functools.partial(_kernel, n_layers=n_layers, n_heads=n_heads,
+                          head_dim=head_dim, seq=s, bc=bc, eps=eps,
+                          compute_dtype=cdt),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, e), x.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={14: 1, 15: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(length, (1,)).astype(jnp.int32),
+      x,
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32), rep,
+      v3(p["norm1_w"]), p["wq"], p["wk"], p["wv"], p["wo"],
+      v3(p["norm2_w"]), p["wg"], p["wu"], p["wd"],
+      k_cache, v_cache)
+    return xo, kc_out, vc_out

@@ -78,6 +78,108 @@ def test_hf_llama_import_parity():
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-3)
 
 
+def test_fused_decode_step_matches_scanned():
+    """ops/pallas/fused_llama_decode.py (interpret mode) against the scanned
+    XLA decode step: same logits and same cache rows after one step from a
+    real prefilled state — RMSNorm, in-kernel rope at position ``length``,
+    GQA expansion, SwiGLU, and the aliased 8-row cache write all covered."""
+    from frankenstein_tpu.models.llama import _stack_llama_decode_weights
+    from frankenstein_tpu.ops import rope as rope_ops
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+
+    cfg = llama.LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                            n_kv_heads=2, hidden_dim=256, max_seq_len=16)
+    assert fld.supported(cfg.n_heads, cfg.head_dim, cfg.n_kv_heads,
+                         cfg.hidden_dim, 8, 16, interpret=True)
+    lm = llama.Llama(cfg)
+    rng = np.random.default_rng(5)
+    idx0 = jnp.asarray(rng.integers(0, 64, (8, 3)), jnp.int32)
+    params = lm.init(jax.random.key(0), idx0)
+
+    cache = llama.init_llama_cache(cfg, 8, 16)
+    logits, cache, length = lm.apply(params, idx0, None, cache,
+                                     method=llama.Llama.prefill)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    ref_logits, ref_cache, _ = lm.apply(params, tok, cache, length,
+                                        method=llama.Llama.decode_step)
+
+    stacked = _stack_llama_decode_weights(params["params"]["layers"],
+                                          jnp.float32)
+    x = jnp.take(params["params"]["embed"], tok, axis=0)
+    table = rope_ops.build_rope_cache(cfg.head_dim, 16, cfg.rope_theta)
+    cos_e, sin_e = rope_ops.folded_tables(table, cfg.n_heads)
+    cos = jax.lax.dynamic_slice_in_dim(cos_e, length, 1)
+    sin = jax.lax.dynamic_slice_in_dim(sin_e, length, 1)
+    xo, kc, vc = fld.fused_llama_decode_blocks(
+        x, stacked, cache[0], cache[1], length, cos, sin,
+        n_layers=cfg.n_layers, n_heads=cfg.n_heads, head_dim=cfg.head_dim,
+        n_kv_heads=cfg.n_kv_heads, hidden=cfg.hidden_dim, eps=cfg.norm_eps,
+        interpret=True)
+    got_logits = lm.apply(
+        params, xo,
+        method=lambda m, a: m._head(m.norm_f(a[:, None]))[:, 0])
+
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(ref_cache[0]),
+                               atol=5e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vc), np.asarray(ref_cache[1]),
+                               atol=5e-5, rtol=1e-5)
+
+
+def test_fused_decode_chain_crosses_tile_boundary():
+    """Three consecutive fused steps from length 7 (writes rows 7, 8, 9 —
+    crossing the 8-row output-tile boundary the aliased cache write blends
+    within) track the scanned path step for step."""
+    from frankenstein_tpu.models.llama import _stack_llama_decode_weights
+    from frankenstein_tpu.ops import rope as rope_ops
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+
+    cfg = llama.LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                            n_kv_heads=2, hidden_dim=256, max_seq_len=16)
+    lm = llama.Llama(cfg)
+    rng = np.random.default_rng(6)
+    idx0 = jnp.asarray(rng.integers(0, 64, (8, 7)), jnp.int32)
+    params = lm.init(jax.random.key(0), idx0)
+
+    cache = llama.init_llama_cache(cfg, 8, 16)
+    logits, cache, length = lm.apply(params, idx0, None, cache,
+                                     method=llama.Llama.prefill)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    stacked = _stack_llama_decode_weights(params["params"]["layers"],
+                                          jnp.float32)
+    table = rope_ops.build_rope_cache(cfg.head_dim, 16, cfg.rope_theta)
+    cos_e, sin_e = rope_ops.folded_tables(table, cfg.n_heads)
+
+    f_cache, f_tok, f_len = cache, tok, length
+    s_cache, s_tok, s_len = cache, tok, length
+    for _ in range(3):
+        ref_logits, s_cache, s_len = lm.apply(
+            params, s_tok, s_cache, s_len, method=llama.Llama.decode_step)
+        x = jnp.take(params["params"]["embed"], f_tok, axis=0)
+        cos = jax.lax.dynamic_slice_in_dim(cos_e, f_len, 1)
+        sin = jax.lax.dynamic_slice_in_dim(sin_e, f_len, 1)
+        xo, kc, vc = fld.fused_llama_decode_blocks(
+            x, stacked, f_cache[0], f_cache[1], f_len, cos, sin,
+            n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+            head_dim=cfg.head_dim, n_kv_heads=cfg.n_kv_heads,
+            hidden=cfg.hidden_dim, eps=cfg.norm_eps, interpret=True)
+        got_logits = lm.apply(
+            params, xo,
+            method=lambda m, a: m._head(m.norm_f(a[:, None]))[:, 0])
+        f_cache, f_len = (kc, vc), f_len + 1
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(ref_logits),
+                                   atol=5e-4, rtol=1e-4)
+        s_tok = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+        f_tok = jnp.argmax(got_logits, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(f_tok), np.asarray(s_tok))
+    np.testing.assert_allclose(np.asarray(f_cache[0]),
+                               np.asarray(s_cache[0]), atol=5e-5, rtol=1e-5)
+
+
 def test_candidates_from_beams_masks_pad_tail():
     # first EOT and the frozen pad tail behind it become IGNORE_INDEX;
     # beams without EOT pass through untouched
