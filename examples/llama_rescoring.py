@@ -121,12 +121,14 @@ def main():
     # ---- WER: beam-best vs rescored pick -----------------------------------
     refs = [tok.decode([t for t in row if t >= 0]) for row in labels]
 
-    def decode_row(row):
-        return tok.decode([int(t) for t in row if int(t) >= 0])
+    def decode_beam(b, w):
+        # decode the raw beam tokens ([B, W, T] — not the rescorer's
+        # seed-prepended cand_ids view), trimmed at the first EOT
+        row = sampling.trim_at_eot(np.asarray(cands[b, w:w + 1]), eot)[0]
+        return tok.decode([int(t) for t in row], skip_special_tokens=True)
 
-    beam_best = [decode_row(np.asarray(cand_ids[b, 0]))
-                 for b in range(args.batch_size)]
-    rescored = [decode_row(np.asarray(cand_ids[b, int(best_idx[b])]))
+    beam_best = [decode_beam(b, 0) for b in range(args.batch_size)]
+    rescored = [decode_beam(b, int(best_idx[b]))
                 for b in range(args.batch_size)]
     w_beam = wer_lib.corpus_wer(refs, beam_best)
     w_resc = wer_lib.corpus_wer(refs, rescored)

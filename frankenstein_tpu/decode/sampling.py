@@ -93,8 +93,9 @@ def _topk_filter(logits: jnp.ndarray, k: Optional[int],
 def _prefill_args(module, params, idx0, prefix, max_len):
     b = idx0.shape[0]
     # cache in the model's compute dtype (bf16 halves decode HBM traffic);
-    # modules with a non-GPT cache layout provide ``init_decode_cache``
-    # (llama [L, B, S, H, D]) — the GPT family defaults to gpt2.init_cache
+    # modules with their own cache construction provide ``init_decode_cache``
+    # (llama: folded [L, B, S, E] with GQA heads pre-expanded) — the GPT
+    # family defaults to gpt2.init_cache
     dt = getattr(module, "dtype", jnp.float32)
     if hasattr(type(module), "init_decode_cache"):
         cache = module.init_decode_cache(b, max_len, dtype=dt)

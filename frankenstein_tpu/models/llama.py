@@ -244,6 +244,9 @@ class Llama(nn.Module):
         if qweights is not None:
             raise NotImplementedError(
                 "Llama has no w8a16 decode path; pass int8_weights=False")
+        if hasattr(cache, "k_scale"):       # gpt2.QuantCache
+            raise NotImplementedError(
+                "Llama has no int8-KV decode path; pass int8_kv=False")
         c = self.cfg
         k_cache = cache[0]
         b, s = k_cache.shape[1], k_cache.shape[2]
@@ -251,10 +254,15 @@ class Llama(nn.Module):
         # tunnel outage blocked the TPU compile check when this landed;
         # interpret-mode parity is green (tests/test_llama.py). Flip the
         # default to "1" once a TPU parity+pricing run is recorded.
+        # NOTE: read at TRACE time — the first decode dispatch bakes the
+        # value into the jit cache (same pitfall sampling.COMPACT_TOPK
+        # documents); set it before the first decode, and use separate
+        # processes for fused-vs-scanned control runs.
         import os
         if (os.environ.get("FK_LLAMA_FUSED", "0") == "1"
                 and c.moe_experts == 0 and fused_llama_decode.supported(
-                    c.n_heads, c.head_dim, c.n_kv_heads, c.hidden_dim, b, s)):
+                    c.n_heads, c.head_dim, c.n_kv_heads, c.hidden_dim, b, s,
+                    itemsize=jnp.dtype(self.dtype).itemsize)):
             x = jnp.take(self.embed, token, axis=0).astype(self.dtype)
             table = rope_ops.build_rope_cache(c.head_dim, s, c.rope_theta)
             cos_e, sin_e = rope_ops.folded_tables(table, c.n_heads)
@@ -294,20 +302,28 @@ def init_llama_cache(cfg: LlamaConfig, batch: int, max_len: int,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-def candidates_from_beams(toks, eot_id: int):
+def candidates_from_beams(toks, eot_id: int, seed_id: Optional[int] = None):
     """[B, W, T] n-best beam tokens (beam_search(n_best=True)) -> the
-    rescore_candidates input: everything from the first EOT on (the
-    frozen pad tail) becomes IGNORE_INDEX so sequence_logprob only prices
-    real tokens. Host-side numpy."""
+    [B, W, T+1] rescore_candidates input: the seed token (default: eot_id,
+    the decode prompt) is PREPENDED and the first EOT is KEPT; only the
+    frozen pad tail strictly after it becomes IGNORE_INDEX. So every
+    hypothesis — including one that stops immediately — is priced as
+    log P(tokens, EOT | seed), a strictly negative number. (Masking the
+    EOT itself would hand a degenerate empty hypothesis an LM score of
+    exactly 0, which dominates every real sentence's negative normalized
+    log-prob and biases rescoring toward empty predictions.) Host-side
+    numpy."""
     import numpy as np
-    toks = np.asarray(toks).copy()
+    toks = np.asarray(toks)
     b, w, t = toks.shape
-    flat = toks.reshape(b * w, t)
-    for row in flat:
-        hits = np.where(row == eot_id)[0]
+    seed = eot_id if seed_id is None else seed_id
+    out = np.full((b * w, t + 1), seed, toks.dtype)
+    out[:, 1:] = toks.reshape(b * w, t)
+    for row in out:
+        hits = np.where(row[1:] == eot_id)[0]
         if len(hits):
-            row[hits[0]:] = IGNORE_INDEX
-    return jnp.asarray(flat.reshape(b, w, t))
+            row[hits[0] + 2:] = IGNORE_INDEX
+    return jnp.asarray(out.reshape(b, w, t + 1))
 
 
 def rescore_candidates(module, params, candidates, decoder_scores=None,

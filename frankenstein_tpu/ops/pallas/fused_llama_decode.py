@@ -159,28 +159,36 @@ def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
         xout_ref[...] = x.astype(xout_ref.dtype)
 
 
-def _vmem_estimate(bc: int, s: int, e: int, e_kv: int, f: int) -> int:
-    compute = 2                                     # bf16 weights/temps
+def _vmem_estimate(bc: int, s: int, e: int, e_kv: int, f: int, b: int,
+                   itemsize: int) -> int:
+    """``itemsize`` is the compute dtype's width (2 for bf16, 4 for the
+    default f32 Llama) — sizing a f32 model at 2 bytes would understate
+    true VMEM 2x and admit geometries that then fail Mosaic compilation
+    instead of falling back (the fused_decode.py lesson)."""
+    compute = max(itemsize, 2)
     weights = (2 * e * e + 2 * e * e_kv + 2 * e * f + f * e
                + 2 * e + e_kv * e) * compute
     caches = 2 * bc * s * e * compute
     # live [BC, S, E] temporaries (QK product, expanded probs, AV product)
     # + one f32 AV accumulate + activations incl. the [BC, F] MLP pair
     stack = bc * s * e * (3 * compute + 4) + 4 * bc * f * 4 + 12 * bc * e * 4
-    return 2 * (weights + caches) + stack
+    return 2 * (weights + caches) + stack + b * e * 4   # + f32 x scratch
 
 
-def _pick_batch_chunk(b: int, s: int, e: int, e_kv: int, f: int) -> int:
+def _pick_batch_chunk(b: int, s: int, e: int, e_kv: int, f: int,
+                      itemsize: int = 2) -> int:
     for bc in (128, 64, 32, 16, 8):
         if b % bc != 0:
             continue
-        if _vmem_estimate(bc, s, e, e_kv, f) < VMEM_LIMIT * _HEADROOM:
+        if _vmem_estimate(bc, s, e, e_kv, f, b, itemsize) < (
+                VMEM_LIMIT * _HEADROOM):
             return bc
     return 0
 
 
 def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
-              b: int, s: int, interpret: bool = False) -> bool:
+              b: int, s: int, itemsize: int = 2,
+              interpret: bool = False) -> bool:
     """Static gate; callers fall back to the scanned XLA path."""
     if not interpret and jax.default_backend() != "tpu":
         return False
@@ -191,7 +199,7 @@ def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
         return False
     if head_dim % 2 != 0:
         return False
-    return _pick_batch_chunk(b, s, e, e_kv, hidden) > 0
+    return _pick_batch_chunk(b, s, e, e_kv, hidden, itemsize) > 0
 
 
 def replication_matrix(n_heads: int, n_kv_heads: int, head_dim: int,
@@ -234,7 +242,7 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     s = k_cache.shape[2]
     e_kv = n_kv_heads * head_dim
     cdt = stacked["wq"].dtype
-    bc = _pick_batch_chunk(b, s, e, e_kv, hidden)
+    bc = _pick_batch_chunk(b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize)
     assert bc > 0, "caller must gate on supported()"
     grid = (n_layers, b // bc)
 
@@ -271,8 +279,8 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     p = stacked
     v3 = lambda a: a[:, None, :]
     rep = replication_matrix(n_heads, n_kv_heads, head_dim, cdt)
-    # cache outputs ALIAS the cache inputs (operands 15/16 incl. the scalar
-    # prefetch at 0): the kernel writes the new rows in place
+    # cache outputs ALIAS the cache inputs (operands 14/15, counting the
+    # scalar prefetch at 0): the kernel writes the new rows in place
     xo, kc_out, vc_out = pl.pallas_call(
         functools.partial(_kernel, n_layers=n_layers, n_heads=n_heads,
                           head_dim=head_dim, seq=s, bc=bc, eps=eps,

@@ -181,13 +181,36 @@ def test_fused_decode_chain_crosses_tile_boundary():
 
 
 def test_candidates_from_beams_masks_pad_tail():
-    # first EOT and the frozen pad tail behind it become IGNORE_INDEX;
-    # beams without EOT pass through untouched
-    toks = jnp.asarray([[[5, 9, 9, 3], [1, 2, 3, 4]]], jnp.int32)
+    # the seed token is prepended and the first EOT is KEPT (so every
+    # hypothesis prices log P(tokens, EOT | seed) < 0 — an empty beam must
+    # not score an unbeatable 0); only the frozen pad tail strictly after
+    # the EOT becomes IGNORE_INDEX. Beams without EOT pass through whole.
+    toks = jnp.asarray([[[5, 9, 9, 3], [1, 2, 3, 4], [9, 9, 9, 9]]],
+                       jnp.int32)
     out = llama.candidates_from_beams(toks, eot_id=9)
-    assert out.shape == (1, 2, 4)
-    np.testing.assert_array_equal(np.asarray(out[0, 0]), [5, -100, -100, -100])
-    np.testing.assert_array_equal(np.asarray(out[0, 1]), [1, 2, 3, 4])
+    assert out.shape == (1, 3, 5)
+    np.testing.assert_array_equal(np.asarray(out[0, 0]),
+                                  [9, 5, 9, -100, -100])
+    np.testing.assert_array_equal(np.asarray(out[0, 1]), [9, 1, 2, 3, 4])
+    # immediate-stop hypothesis: seed + its EOT survive -> 1 real transition
+    np.testing.assert_array_equal(np.asarray(out[0, 2]),
+                                  [9, 9, -100, -100, -100])
+
+
+def test_rescoring_does_not_prefer_empty_hypothesis(tiny):
+    """An immediate-EOT beam must not win rescoring by default: its LM
+    score is log P(EOT | seed) — negative and length-normalized like every
+    other candidate — not an unbeatable 0."""
+    model, params, cfg = tiny
+    rng = np.random.default_rng(8)
+    real = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 1, 6)), jnp.int32)
+    empty = jnp.zeros((1, 1, 6), jnp.int32)          # eot_id=0 everywhere
+    cands = llama.candidates_from_beams(
+        jnp.concatenate([real, empty], axis=1), eot_id=0)
+    _, combined = llama.rescore_candidates(model, params, cands)
+    assert np.all(np.isfinite(np.asarray(combined)))
+    # the empty hypothesis scores a real (negative) log-prob, not 0
+    assert float(combined[0, 1]) < 0.0
 
 
 def test_rescoring_prefers_probable_sequence(tiny):
