@@ -236,11 +236,11 @@ class Llama(nn.Module):
         return init_llama_cache(self.cfg, batch, max_len, dtype)
 
     def decode_step(self, token, cache, length, qweights=None):
-        """One decode step. With ``FK_LLAMA_FUSED=1`` on TPU, supported
-        geometries run all blocks in ONE fused Pallas program
-        (ops/pallas/fused_llama_decode.py — RMSNorm + in-kernel rope + GQA
-        attention + SwiGLU at the step's HBM roofline); otherwise the
-        scanned XLA path."""
+        """One decode step. On TPU, supported geometries run all blocks in
+        ONE fused Pallas program (ops/pallas/fused_llama_decode.py —
+        RMSNorm + in-kernel rope + GQA attention + SwiGLU; measured 1.47x
+        over the scanned path at the ~110M rescorer shape);
+        ``FK_LLAMA_FUSED=0`` reverts to the scanned XLA path."""
         if qweights is not None:
             raise NotImplementedError(
                 "Llama has no w8a16 decode path; pass int8_weights=False")
@@ -250,16 +250,15 @@ class Llama(nn.Module):
         c = self.cfg
         k_cache = cache[0]
         b, s = k_cache.shape[1], k_cache.shape[2]
-        # default OFF until the kernel is priced on the real toolchain — a
-        # tunnel outage blocked the TPU compile check when this landed;
-        # interpret-mode parity is green (tests/test_llama.py). Flip the
-        # default to "1" once a TPU parity+pricing run is recorded.
-        # NOTE: read at TRACE time — the first decode dispatch bakes the
-        # value into the jit cache (same pitfall sampling.COMPACT_TOPK
-        # documents); set it before the first decode, and use separate
-        # processes for fused-vs-scanned control runs.
+        # default ON: TPU-priced at 1.47x over the scanned path (0.639 vs
+        # 0.941 ms/token, ~110M llama b=32; parity max logit drift 0.027 at
+        # rms 0.64 — bf16 accumulation-order class, BASELINE.md round 4).
+        # FK_LLAMA_FUSED=0 reverts. NOTE: read at TRACE time — the first
+        # decode dispatch bakes the value into the jit cache (same pitfall
+        # sampling.COMPACT_TOPK documents); set it before the first decode,
+        # and use separate processes for fused-vs-scanned control runs.
         import os
-        if (os.environ.get("FK_LLAMA_FUSED", "0") == "1"
+        if (os.environ.get("FK_LLAMA_FUSED", "1") == "1"
                 and c.moe_experts == 0 and fused_llama_decode.supported(
                     c.n_heads, c.head_dim, c.n_kv_heads, c.hidden_dim, b, s,
                     itemsize=jnp.dtype(self.dtype).itemsize)):
