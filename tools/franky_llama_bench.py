@@ -5,9 +5,10 @@ n-best rescoring at serving batch — the full
 there) priced end-to-end.
 
 Methodology is bench.py's (fori_loop differencing, on-device inputs,
-value-fetch sync). The decode path is the generic XLA-scanned one (the
-fused all-layer kernel is GPT-geometry-specific); the point of this tool
-is an honest recorded number for the new family, not a tuned headline.
+value-fetch sync). The decode path is whatever the model routes — since
+round 4 that is the fused all-layer LLaMA kernel
+(ops/pallas/fused_llama_decode.py, default ON; FK_LLAMA_FUSED=0 reverts
+to the scanned XLA path for a control run).
 
 Run on the real TPU: python tools/franky_llama_bench.py [batch] [beam_width]
 """
