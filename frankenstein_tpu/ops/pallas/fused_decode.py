@@ -70,6 +70,103 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * (1.0 / np.sqrt(2.0))))
 
 
+def _chunk_math(x, length, w, kc, vc, *, n_head: int, head_dim: int,
+                seq: int, quant_cache: bool, quant_w: bool, compute_dtype):
+    """One layer's math for one batch chunk — shared VERBATIM by the
+    Mosaic-pipelined kernel (``_kernel``) and the manually-double-buffered
+    one (``_kernel_pipelined``) so their outputs are bit-identical.
+
+    x: [BC, E] f32 residual; length: scalar int32; kc/vc: [BC, S, E]
+    cache-dtype arrays; w: dict of this layer's arrays — vectors [1, D],
+    matrices [in, out], plus ks/vs [1, E] (quant_cache) and sqkv/sproj/
+    sfc/sfc2 [1, D] (quant_w). Returns (x' [BC, E] f32, row_k, row_v
+    [BC, E] in the cache dtype).
+    """
+    scale = 1.0 / np.sqrt(head_dim)
+    cdt = compute_dtype
+    e = n_head * head_dim
+
+    # ---- attention sublayer -------------------------------------------
+    h = _layer_norm_f32(x, w["ln1w"].astype(jnp.float32),
+                        w["ln1b"].astype(jnp.float32))
+    qkv = jax.lax.dot_general(h.astype(cdt), w["wqkv"].astype(cdt),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if quant_w:
+        qkv = qkv * w["sqkv"]
+    qkv = qkv + w["bqkv"].astype(jnp.float32)
+    q, k_new, v_new = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
+    if quant_cache:
+        q8 = lambda r, s: jnp.clip(jnp.round(r / s), -127, 127
+                                   ).astype(jnp.int8)
+        row_k, row_v = q8(k_new, w["ks"]), q8(v_new, w["vs"])
+    else:
+        row_k = k_new.astype(kc.dtype)
+        row_v = v_new.astype(vc.dtype)
+
+    bc_, _, e_ = kc.shape
+    lane_head = (jax.lax.broadcasted_iota(jnp.int32, (e, n_head), 0)
+                 // head_dim)
+    seg_sum = (lane_head ==
+               jax.lax.broadcasted_iota(jnp.int32, (e, n_head), 1)
+               ).astype(jnp.float32)                  # [E, H]
+    expand = seg_sum.T                                # [H, E]
+
+    q_k = q * w["ks"] if quant_cache else q
+    prod = q_k.astype(cdt)[:, None, :] * kc.astype(cdt)   # [BC, S, E]
+    s = jax.lax.dot_general(prod.reshape(bc_ * seq, e_),
+                            seg_sum.astype(cdt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s.reshape(bc_, seq, n_head) * scale           # [BC, S, H]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, seq, 1), 1)
+             < length)
+    s = jnp.where(valid, s, NEG_INF)
+    s_own = jax.lax.dot_general(q * k_new, seg_sum, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+    m = jnp.maximum(jnp.max(s, axis=1), s_own)        # [BC, H]
+    p = jnp.exp(s - m[:, None, :])
+    p_own = jnp.exp(s_own - m)
+    denom = jnp.sum(p, axis=1) + p_own                # [BC, H]
+    p = p / denom[:, None, :]
+    p_wide = jax.lax.dot_general(p.reshape(bc_ * seq, n_head).astype(cdt),
+                                 expand.astype(cdt),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(cdt)
+    o = jnp.sum((p_wide.reshape(bc_, seq, e_)
+                 * vc.astype(cdt)).astype(jnp.float32), axis=1)  # [BC, E] f32
+    if quant_cache:
+        o = o * w["vs"]
+    own_wide = jax.lax.dot_general(p_own / denom, expand,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    o = o + own_wide * v_new
+    y = jax.lax.dot_general(o.astype(cdt), w["wproj"].astype(cdt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if quant_w:
+        y = y * w["sproj"]
+    x = x + y + w["bproj"].astype(jnp.float32)
+
+    # ---- MLP sublayer --------------------------------------------------
+    h2 = _layer_norm_f32(x, w["ln2w"].astype(jnp.float32),
+                         w["ln2b"].astype(jnp.float32))
+    hh = jax.lax.dot_general(h2.astype(cdt), w["wfc"].astype(cdt),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if quant_w:
+        hh = hh * w["sfc"]
+    hh = _gelu_exact(hh + w["bfc"].astype(jnp.float32))
+    y2 = jax.lax.dot_general(hh.astype(cdt), w["wfc2"].astype(cdt),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if quant_w:
+        y2 = y2 * w["sfc2"]
+    x = x + y2 + w["bfc2"].astype(jnp.float32)
+    return x, row_k, row_v
+
+
 def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
             ln2w, ln2b, wfc, bfc, wfc2, bfc2, kc_ref, vc_ref, *rest,
             n_layer: int, n_head: int, head_dim: int, seq: int, bc: int,
@@ -87,7 +184,6 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     xout_ref, knew_ref, vnew_ref, x_scr = rest[i:i + 4]
     l = pl.program_id(0)
     bi = pl.program_id(1)
-    scale = 1.0 / np.sqrt(head_dim)
     rows = pl.ds(bi * bc, bc)
 
     @pl.when(l == 0)
@@ -95,28 +191,35 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
         x_scr[rows] = x_ref[...].astype(jnp.float32)
 
     x = x_scr[rows]                                   # [BC, E] f32
-    # compute dtype (bf16 on TPU) — the CACHE dtype may differ (int8 KV
-    # cache: rows dequantize in-register via the per-(layer, lane) scales,
-    # and the new rows REQUANTIZE in-kernel before the int8 store)
-    cdt = compute_dtype
-
-    # ---- attention sublayer ------------------------------------------------
-    h = _layer_norm_f32(x, ln1w[0].astype(jnp.float32),
-                        ln1b[0].astype(jnp.float32))
-    # Weight matrices may arrive int8 (w8a16 serving mode): convert
-    # in-register for the bf16 MXU dot, then apply the per-(layer, out-lane)
-    # dequant scale to the f32 dot output — exact for symmetric per-channel
-    # quantization (y_j = s_j * sum_i x_i w8_ij). For float weights the
-    # .astype is a no-op and the scale multiplies are compiled out entirely
-    # (quant_w is a static flag; scale operands are never even passed).
-    qkv = jax.lax.dot_general(h.astype(cdt), wqkv[0].astype(cdt),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    # Weight matrices may arrive int8 (w8a16 serving mode): _chunk_math
+    # converts in-register for the bf16 MXU dot, then applies the
+    # per-(layer, out-lane) dequant scale to the f32 dot output — exact for
+    # symmetric per-channel quantization (y_j = s_j * sum_i x_i w8_ij).
+    # For float weights the .astype is a no-op and the scale multiplies are
+    # compiled out entirely (quant_w is a static flag; scale operands are
+    # never even passed). int8 KV caches dequantize in-register via the
+    # per-(layer, lane) scales, and the new rows REQUANTIZE in-kernel
+    # before the int8 store.
+    w = {"ln1w": ln1w[0], "ln1b": ln1b[0], "wqkv": wqkv[0],
+         "bqkv": bqkv[0], "wproj": wproj[0], "bproj": bproj[0],
+         "ln2w": ln2w[0], "ln2b": ln2b[0], "wfc": wfc[0], "bfc": bfc[0],
+         "wfc2": wfc2[0], "bfc2": bfc2[0]}
+    if quant_cache:
+        w["ks"], w["vs"] = ks_ref[0], vs_ref[0]
     if quant_w:
-        qkv = qkv * sqkv[0, 0]
-    qkv = qkv + bqkv[0].astype(jnp.float32)
-    e = n_head * head_dim
-    q, k_new, v_new = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
+        w["sqkv"], w["sproj"] = sqkv[0], sproj[0]
+        w["sfc"], w["sfc2"] = sfc[0], sfc2[0]
+    # Attention runs for ALL heads at once at full 768-lane VPU width — a
+    # per-head loop works on 64-lane slices (half the VPU idle) and Mosaic
+    # allocates its unrolled temporaries without stack reuse. Per-head
+    # reductions and broadcasts ride tiny MXU dots against 0/1 segment
+    # matrices instead of [BC, S, H, D] reshapes (whose (12, 64) minor
+    # tiles pad 2.7x). See _chunk_math.
+    x, row_k, row_v = _chunk_math(
+        x, len_ref[0], w, kc_ref[0], vc_ref[0], n_head=n_head,
+        head_dim=head_dim, seq=seq, quant_cache=quant_cache,
+        quant_w=quant_w, compute_dtype=compute_dtype)
+
     # The new rows write STRAIGHT INTO the caches: knew_ref/vnew_ref are
     # [1, BC, 8, E] blocks of the cache outputs around row ``length``
     # (scalar-prefetch output index map; Mosaic needs the second-minor
@@ -126,16 +229,6 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     # dynamic_update_slice — is in-place for the cache but pays two
     # layout-retiling copies of the [L, B, 1, E] rows per step (~0.2 ms
     # each at b=128, HLO cost model + tools/chain_attr.py).
-    if quant_cache:
-        # quantize IN-KERNEL with the cache's fixed scales (same round/clip
-        # as quantize_rows) — the per-step XLA quantize chain otherwise
-        # eats the int8 read saving (round-2: 1.03x end-to-end)
-        q8 = lambda r, s: jnp.clip(jnp.round(r / s[0]), -127, 127
-                                   ).astype(jnp.int8)
-        row_k, row_v = q8(k_new, ks_ref[0]), q8(v_new, vs_ref[0])
-    else:
-        row_k = k_new.astype(knew_ref.dtype)
-        row_v = v_new.astype(vnew_ref.dtype)
     base = (len_ref[0] // 8) * 8
     sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
            == (len_ref[0] - base))
@@ -143,80 +236,6 @@ def _kernel(len_ref, x_ref, ln1w, ln1b, wqkv, bqkv, wproj, bproj,
     vtile = vc_ref[0, :, pl.ds(base, 8)]
     knew_ref[0] = jnp.where(sel, row_k[:, None, :], ktile)
     vnew_ref[0] = jnp.where(sel, row_v[:, None, :], vtile)
-
-    # Attention for ALL heads at once, full 768-lane VPU width — a per-head
-    # loop works on 64-lane slices (half the VPU idle) and Mosaic allocates
-    # its unrolled temporaries without stack reuse. Per-head reductions and
-    # broadcasts ride tiny MXU dots against 0/1 segment matrices instead of
-    # [BC, S, H, D] reshapes (whose (12, 64) minor tiles pad 2.7x).
-    kc = kc_ref[0]                                    # [BC, S, E]
-    vc = vc_ref[0]
-    bc_, _, e_ = kc.shape
-    lane_head = (jax.lax.broadcasted_iota(jnp.int32, (e, n_head), 0)
-                 // head_dim)
-    seg_sum = (lane_head ==
-               jax.lax.broadcasted_iota(jnp.int32, (e, n_head), 1)
-               ).astype(jnp.float32)                  # [E, H]
-    expand = seg_sum.T                                # [H, E]
-
-    # products in the compute dtype (bf16 on TPU: halves VPU/VMEM traffic);
-    # the segment dot accumulates them in f32 on the MXU. The k-cache
-    # dequant scale folds into q BEFORE the product (one [BC, E] f32
-    # multiply instead of a [BC, S, E] sweep; exact in f32):
-    #   s = sum_d q_d * (k8_d * ks_d) = sum_d (q_d * ks_d) * k8_d
-    q_k = q * ks_ref[0, 0] if quant_cache else q
-    prod = q_k.astype(cdt)[:, None, :] * kc.astype(cdt)   # [BC, S, E]
-    s = jax.lax.dot_general(prod.reshape(bc_ * seq, e_),
-                            seg_sum.astype(cdt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s.reshape(bc_, seq, n_head) * scale           # [BC, S, H]
-    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, seq, 1), 1)
-             < len_ref[0])
-    s = jnp.where(valid, s, NEG_INF)
-    s_own = jax.lax.dot_general(q * k_new, seg_sum, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-    m = jnp.maximum(jnp.max(s, axis=1), s_own)        # [BC, H]
-    p = jnp.exp(s - m[:, None, :])
-    p_own = jnp.exp(s_own - m)
-    denom = jnp.sum(p, axis=1) + p_own                # [BC, H]
-    p = p / denom[:, None, :]
-    p_wide = jax.lax.dot_general(p.reshape(bc_ * seq, n_head).astype(cdt),
-                                 expand.astype(cdt),
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(cdt)
-    o = jnp.sum((p_wide.reshape(bc_, seq, e_)
-                 * vc.astype(cdt)).astype(jnp.float32), axis=1)  # [BC, E] f32
-    if quant_cache:
-        # v-cache dequant scale is constant over S — apply once to the sum
-        o = o * vs_ref[0, 0]
-    own_wide = jax.lax.dot_general(p_own / denom, expand,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-    o = o + own_wide * v_new
-    y = jax.lax.dot_general(o.astype(cdt), wproj[0].astype(cdt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if quant_w:
-        y = y * sproj[0, 0]
-    x = x + y + bproj[0].astype(jnp.float32)
-
-    # ---- MLP sublayer ------------------------------------------------------
-    h2 = _layer_norm_f32(x, ln2w[0].astype(jnp.float32),
-                         ln2b[0].astype(jnp.float32))
-    hh = jax.lax.dot_general(h2.astype(cdt), wfc[0].astype(cdt),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    if quant_w:
-        hh = hh * sfc[0, 0]
-    hh = _gelu_exact(hh + bfc[0].astype(jnp.float32))
-    y2 = jax.lax.dot_general(hh.astype(cdt), wfc2[0].astype(cdt),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    if quant_w:
-        y2 = y2 * sfc2[0, 0]
-    x = x + y2 + bfc2[0].astype(jnp.float32)
 
     x_scr[rows] = x
 
@@ -308,6 +327,265 @@ def dequantize_cache_side(codes, scales, dtype):
     return (codes.astype(jnp.float32) * scales[:, :, None, :]).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# Manually-pipelined variant: the grid kernel above leaves compute and DMA
+# nearly SERIALIZED (measured r4: gutting the attention math saved its full
+# ~0.10 ms/token and bf16->int8 weights saved exactly their bytes at ~100%
+# marginal bandwidth — so neither the VPU attention nor the MXU dots hide
+# under the streams; per-grid-step overhead is ~1 us and the aliased
+# write-back ~0.03 ms, neither explains the ~0.19 ms/token gap to the HBM
+# floor). This kernel owns the streams instead: ONE program (no grid),
+# weights and caches arrive as HBM (ANY) refs, and a fori_loop over
+# (layer, batch-chunk) steps double-buffers every stream with explicit
+# pltpu.make_async_copy — chunk (l, bi+1) and the next layer's weights
+# stream WHILE (l, bi) computes, and the 8-row cache write-backs drain
+# asynchronously two steps behind. The math is _chunk_math — bit-identical
+# to the grid kernel by construction.
+# ---------------------------------------------------------------------------
+
+
+_CSLOTS = 3     # cache-chunk buffering depth (lookahead _CSLOTS - 1)
+
+
+def _kernel_pipelined(len_ref, x_ref, ln1w, ln1b, bqkv, bproj, ln2w, ln2b,
+                      bfc, bfc2, wqkv_h, wproj_h, wfc_h, wfc2_h,
+                      kc_h, vc_h, *rest,
+                      n_layer: int, n_head: int, head_dim: int, seq: int,
+                      bc: int, nc: int, quant_cache: bool, quant_w: bool,
+                      compute_dtype):
+    i = 0
+    if quant_cache:
+        ks_ref, vs_ref = rest[i], rest[i + 1]          # [L, 1, E] f32
+        i += 2
+    if quant_w:
+        sqkv, sproj, sfc, sfc2 = rest[i:i + 4]         # [L, 1, D] f32
+        i += 4
+    (xout_ref, kco_h, vco_h,
+     wq_s, wp_s, wf_s, wf2_s, kc_s, vc_s, kt_s, vt_s, x_scr,
+     wsem, csem, tsem) = rest[i:i + 15]
+    from jax.experimental.pallas import tpu as pltpu
+
+    nsteps = n_layer * nc
+    length = len_ref[0]
+    base = (length // 8) * 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+           == (length - base))
+
+    def wcopies(l, lslot):
+        return [
+            pltpu.make_async_copy(wqkv_h.at[l], wq_s.at[lslot],
+                                  wsem.at[lslot, 0]),
+            pltpu.make_async_copy(wproj_h.at[l], wp_s.at[lslot],
+                                  wsem.at[lslot, 1]),
+            pltpu.make_async_copy(wfc_h.at[l], wf_s.at[lslot],
+                                  wsem.at[lslot, 2]),
+            pltpu.make_async_copy(wfc2_h.at[l], wf2_s.at[lslot],
+                                  wsem.at[lslot, 3]),
+        ]
+
+    def ccopies(l, bi, slot):
+        rows = pl.ds(bi * bc, bc)
+        return [
+            pltpu.make_async_copy(kc_h.at[l, rows], kc_s.at[slot],
+                                  csem.at[slot, 0]),
+            pltpu.make_async_copy(vc_h.at[l, rows], vc_s.at[slot],
+                                  csem.at[slot, 1]),
+        ]
+
+    def chunk_for(step):
+        """Start the (k, v) chunk DMAs for a flat step (traced int32)."""
+        ln = step // nc
+        for c in ccopies(ln, step - ln * nc, jax.lax.rem(step, _CSLOTS)):
+            c.start()
+
+    def tcopies(l, bi, slot):
+        rows = pl.ds(bi * bc, bc)
+        tile = pl.ds(base, 8)
+        return [
+            pltpu.make_async_copy(kt_s.at[slot], kco_h.at[l, rows, tile],
+                                  tsem.at[slot, 0]),
+            pltpu.make_async_copy(vt_s.at[slot], vco_h.at[l, rows, tile],
+                                  tsem.at[slot, 1]),
+        ]
+
+    for c in wcopies(0, 0):                             # warm-up
+        c.start()
+    for j in range(min(_CSLOTS - 1, nsteps)):           # chunk lookahead
+        for c in ccopies(j // nc, j % nc, j % _CSLOTS):
+            c.start()
+
+    def body(i, _):
+        l = i // nc
+        bi = i - l * nc
+        slot = jax.lax.rem(i, _CSLOTS)
+        tslot = jax.lax.rem(i, 2)
+        lslot = jax.lax.rem(l, 2)
+        nxt = i + (_CSLOTS - 1)
+
+        @pl.when(nxt < nsteps)
+        def _start_next():
+            chunk_for(nxt)
+
+        @pl.when(bi == 0)
+        def _wait_weights():
+            for c in wcopies(l, lslot):
+                c.wait()
+            # prefetch NEXT layer's weights a full layer ahead — the slot
+            # being overwritten held layer l-1's, whose compute is done
+            @pl.when(l + 1 < n_layer)
+            def _start_weights():
+                for c in wcopies(l + 1, jax.lax.rem(l + 1, 2)):
+                    c.start()
+
+        for c in ccopies(l, bi, slot):
+            c.wait()
+
+        # the tile scratch slot is reused every 2 steps: drain the
+        # write-back issued at step i-2 before overwriting it
+        @pl.when(i >= 2)
+        def _wait_tiles():
+            l2 = (i - 2) // nc
+            for c in tcopies(l2, (i - 2) - l2 * nc, tslot):
+                c.wait()
+
+        rows = pl.ds(bi * bc, bc)
+
+        @pl.when(l == 0)
+        def _load():
+            x_scr[rows] = x_ref[rows].astype(jnp.float32)
+
+        x = x_scr[rows]
+        # vector params ride as [L, 1, D]: the leading dim is untiled, so
+        # the dynamic layer index needs no sublane-alignment proof (a
+        # [L, D] layout would put l on the 8-sublane axis — Mosaic rejects
+        # the dynamic slice at trace-dependent l)
+        w = {"ln1w": ln1w[l], "ln1b": ln1b[l], "wqkv": wq_s[lslot],
+             "bqkv": bqkv[l], "wproj": wp_s[lslot], "bproj": bproj[l],
+             "ln2w": ln2w[l], "ln2b": ln2b[l], "wfc": wf_s[lslot],
+             "bfc": bfc[l], "wfc2": wf2_s[lslot], "bfc2": bfc2[l]}
+        if quant_cache:
+            w["ks"], w["vs"] = ks_ref[l], vs_ref[l]
+        if quant_w:
+            w["sqkv"], w["sproj"] = sqkv[l], sproj[l]
+            w["sfc"], w["sfc2"] = sfc[l], sfc2[l]
+        x, row_k, row_v = _chunk_math(
+            x, length, w, kc_s[slot], vc_s[slot], n_head=n_head,
+            head_dim=head_dim, seq=seq, quant_cache=quant_cache,
+            quant_w=quant_w, compute_dtype=compute_dtype)
+
+        kt_s[tslot] = jnp.where(sel, row_k[:, None, :],
+                                kc_s[slot, :, pl.ds(base, 8)])
+        vt_s[tslot] = jnp.where(sel, row_v[:, None, :],
+                                vc_s[slot, :, pl.ds(base, 8)])
+        for c in tcopies(l, bi, tslot):
+            c.start()
+
+        x_scr[rows] = x
+
+        @pl.when(l == n_layer - 1)
+        def _store():
+            xout_ref[rows] = x.astype(xout_ref.dtype)
+
+        return _
+
+    jax.lax.fori_loop(0, nsteps, body, None)
+    for j in range(max(0, nsteps - 2), nsteps):         # drain write-backs
+        for c in tcopies(j // nc, j % nc, j % 2):
+            c.wait()
+
+
+def _vmem_estimate_pipelined(bc: int, s: int, e: int, b: int,
+                             cache_itemsize: int, w_itemsize: int) -> int:
+    compute = max(cache_itemsize, 2)
+    weights = 2 * 12 * e * e * w_itemsize               # 2 slots x 4 mats
+    caches = _CSLOTS * 2 * bc * s * e * cache_itemsize  # slots x (k, v)
+    tiles = 2 * 2 * bc * 8 * e * cache_itemsize
+    vecs = 32 * e * 4                                   # 13e params + scales
+    stack = bc * s * e * (3 * compute + 4) + 12 * bc * e * 4
+    return weights + caches + tiles + vecs + stack + 2 * b * e * 4
+
+
+def _pick_batch_chunk_pipelined(b: int, s: int, e: int, cache_itemsize: int,
+                                w_itemsize: int) -> int:
+    for bc in (128, 64, 32, 16, 8):
+        if b % bc != 0:
+            continue
+        if _vmem_estimate_pipelined(bc, s, e, b, cache_itemsize,
+                                    w_itemsize) < (VMEM_LIMIT * _HEADROOM):
+            return bc
+    return 0
+
+
+def _fused_decode_pipelined(x, stacked, k_cache, v_cache, length,
+                            k_scale, v_scale, *, n_layer: int, n_head: int,
+                            head_dim: int, bc: int, quant_cache: bool,
+                            quant_w: bool, compute_dtype, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, e = x.shape
+    s = k_cache.shape[2]
+    nc = b // bc
+    p = stacked
+    wdt = p["qkv_w"].dtype
+    cdt_cache = k_cache.dtype
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    v3 = lambda a: a[:, None, :]                  # [L, D] -> [L, 1, D]
+    operands = [jnp.reshape(length, (1,)).astype(jnp.int32), x,
+                v3(p["ln1_w"]), v3(p["ln1_b"]), v3(p["qkv_b"]),
+                v3(p["proj_b"]), v3(p["ln2_w"]), v3(p["ln2_b"]),
+                v3(p["fc_b"]), v3(p["fc2_b"]),
+                p["qkv_w"], p["proj_w"], p["fc_w"], p["fc2_w"],
+                k_cache, v_cache]
+    in_specs = [smem, vmem] + [vmem] * 8 + [any_spec] * 4 + [any_spec] * 2
+    if quant_cache:
+        operands += [k_scale.reshape(n_layer, 1, e),
+                     v_scale.reshape(n_layer, 1, e)]
+        in_specs += [vmem, vmem]
+    if quant_w:
+        operands += [p["qkv_s"].reshape(n_layer, 1, 3 * e),
+                     p["proj_s"].reshape(n_layer, 1, e),
+                     p["fc_s"].reshape(n_layer, 1, 4 * e),
+                     p["fc2_s"].reshape(n_layer, 1, e)]
+        in_specs += [vmem] * 4
+
+    xo, kc_out, vc_out = pl.pallas_call(
+        functools.partial(_kernel_pipelined, n_layer=n_layer, n_head=n_head,
+                          head_dim=head_dim, seq=s, bc=bc, nc=nc,
+                          quant_cache=quant_cache, quant_w=quant_w,
+                          compute_dtype=compute_dtype),
+        in_specs=in_specs,
+        out_specs=[vmem, any_spec, any_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, e), x.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, 3 * e), wdt),
+            pltpu.VMEM((2, e, e), wdt),
+            pltpu.VMEM((2, e, 4 * e), wdt),
+            pltpu.VMEM((2, 4 * e, e), wdt),
+            pltpu.VMEM((_CSLOTS, bc, s, e), cdt_cache),
+            pltpu.VMEM((_CSLOTS, bc, s, e), cdt_cache),
+            pltpu.VMEM((2, bc, 8, e), cdt_cache),
+            pltpu.VMEM((2, bc, 8, e), cdt_cache),
+            pltpu.VMEM((b, e), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((_CSLOTS, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={14: 1, 15: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return xo, kc_out, vc_out
+
+
 WEIGHT_KEYS = ("qkv_w", "proj_w", "fc_w", "fc2_w")
 
 
@@ -377,6 +655,27 @@ def fused_decode_blocks(x, stacked, k_cache, v_cache, length,
         cache_scales = ()
     w_scales = ((stacked["qkv_s"], stacked["proj_s"],
                  stacked["fc_s"], stacked["fc2_s"]) if w8 else ())
+    # FK_FUSED_PIPE=0 reverts to the Mosaic-auto-pipelined grid kernel.
+    # The manual kernel (default) owns the streams — weights/caches as HBM
+    # refs, 3-slot chunk buffering, layer-ahead weight prefetch — and is
+    # bit-identical (shared _chunk_math; TPU-verified both serving modes).
+    # Measured r4 at the flagship decode shape (b=128, s=64): w8a16
+    # 0.655 -> 0.485 ms/token (1.35x, ~100% HBM bw incl. write-backs),
+    # bf16 0.749 -> 0.643 (1.16x, bc falls 64 -> 32 for VMEM). Read at
+    # TRACE time — the first decode dispatch bakes the value into the jit
+    # cache; set it before the first decode.
+    import os
+    if os.environ.get("FK_FUSED_PIPE", "1") == "1":
+        bcp = _pick_batch_chunk_pipelined(
+            b, s, e, jnp.dtype(k_cache.dtype).itemsize,
+            jnp.dtype(stacked["qkv_w"].dtype).itemsize)
+        if bcp > 0 and n_layer * (b // bcp) >= 2:
+            return _fused_decode_pipelined(
+                x, stacked, k_cache, v_cache, length, k_scale, v_scale,
+                n_layer=n_layer, n_head=n_head, head_dim=head_dim, bc=bcp,
+                quant_cache=quant_cache, quant_w=w8, compute_dtype=cdt,
+                interpret=interpret)
+
     v3 = lambda a: a[:, None, :]                  # [L, D] -> [L, 1, D]
     bc = _pick_batch_chunk(b, s, e, n_head, head_dim,
                            jnp.dtype(k_cache.dtype).itemsize)

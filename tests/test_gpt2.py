@@ -215,6 +215,60 @@ def test_fused_supported_gate():
     assert not fused_decode.supported(2, 2, 16, 8, 16, 4, interpret=True)
 
 
+@pytest.mark.parametrize("w8", [False, True])
+@pytest.mark.parametrize("int8kv", [False, True])
+def test_pipelined_kernel_bit_identical_to_grid(monkeypatch, w8, int8kv):
+    """The manually-double-buffered kernel (_kernel_pipelined) must be
+    BIT-IDENTICAL to the Mosaic-pipelined grid kernel in every serving
+    mode — they share _chunk_math, so any drift is a DMA-orchestration
+    bug (stale slot, unwaited write-back), exactly what this chains
+    3 steps across an 8-row tile boundary to catch."""
+    from frankenstein_tpu.ops.pallas import fused_decode as fd
+    L, B, S, E, H, HD = 3, 16, 16, 128, 2, 64
+    rng = np.random.default_rng(0)
+    arr = lambda *sh, dt=jnp.float32, sc=0.1: jnp.asarray(
+        rng.standard_normal(sh) * sc, dt)
+    p = {"ln1_w": arr(L, E) + 1, "ln1_b": arr(L, E),
+         "qkv_w": arr(L, E, 3 * E, dt=jnp.bfloat16), "qkv_b": arr(L, 3 * E),
+         "proj_w": arr(L, E, E, dt=jnp.bfloat16), "proj_b": arr(L, E),
+         "ln2_w": arr(L, E) + 1, "ln2_b": arr(L, E),
+         "fc_w": arr(L, E, 4 * E, dt=jnp.bfloat16), "fc_b": arr(L, 4 * E),
+         "fc2_w": arr(L, 4 * E, E, dt=jnp.bfloat16), "fc2_b": arr(L, E)}
+    if w8:
+        p = fd.quantize_weights(p)
+    kcf = arr(L, B, S, E, dt=jnp.bfloat16, sc=1.0)
+    vcf = arr(L, B, S, E, dt=jnp.bfloat16, sc=1.0)
+    if int8kv:
+        kc0, ks = fd.quantize_cache_side(kcf)
+        vc0, vs = fd.quantize_cache_side(vcf)
+    else:
+        kc0, vc0, ks, vs = kcf, vcf, None, None
+
+    # lengths 6, 7, 8 cross the 8-row tile boundary mid-chain
+    lengths = (6, 7, 8)
+    xs_in = [arr(B, E, dt=jnp.bfloat16, sc=1.0 + i)
+             for i in range(len(lengths))]
+
+    def chain(flag):
+        monkeypatch.setenv("FK_FUSED_PIPE", flag)
+        fd.fused_decode_blocks._clear_cache()
+        kc, vc = jnp.copy(kc0), jnp.copy(vc0)
+        outs = []
+        for x, length in zip(xs_in, lengths):
+            xo, kc, vc = fd.fused_decode_blocks(
+                x, p, kc, vc, jnp.int32(length), ks, vs,
+                n_layer=L, n_head=H, head_dim=HD, interpret=True)
+            outs.append(xo)
+        fd.fused_decode_blocks._clear_cache()
+        return outs, kc, vc
+
+    (xs_g, kc_g, vc_g) = chain("0")
+    (xs_p, kc_p, vc_p) = chain("1")
+    for a, b in zip(xs_g + [kc_g, vc_g], xs_p + [kc_p, vc_p]):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
 # ---------------------------------------------------------------------------
 # int8 KV cache (models/gpt2.py:QuantCache + fused_decode quantization)
 # ---------------------------------------------------------------------------
