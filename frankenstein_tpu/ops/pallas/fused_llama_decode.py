@@ -58,54 +58,40 @@ def _rot_row(x, cos, sin):
             + xs * (sign * sin.astype(jnp.float32))).astype(x.dtype)
 
 
-def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
-            norm2, wg, wu, wd, kc_ref, vc_ref,
-            xout_ref, knew_ref, vnew_ref, x_scr, *,
-            n_layers: int, n_heads: int, head_dim: int, seq: int, bc: int,
-            eps: float, compute_dtype):
-    l = pl.program_id(0)
-    bi = pl.program_id(1)
+def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
+                head_dim: int, seq: int, eps: float, compute_dtype,
+                cache_dtype):
+    """One layer's math for one batch chunk — shared VERBATIM by the
+    Mosaic-pipelined grid kernel (``_kernel``) and the manually-double-
+    buffered one (``_kernel_pipelined``) so their outputs are bit-identical
+    (the fused_decode.py:_chunk_math pattern).
+
+    x: [BC, E] f32 residual; length: scalar int32; kc/vc: [BC, S, E]
+    cache-dtype arrays (stale — the new row folds in as an extra logit);
+    w: dict of this layer's arrays — norm1/norm2 [1, E] (or [E]), matmul
+    kernels [in, out] in the compute dtype; cos/sin [1, E] f32 folded rope
+    rows; rep [E_kv, E] replication matrix. Returns (x' [BC, E] f32,
+    row_k, row_v [BC, E] in ``cache_dtype``)."""
     scale = 1.0 / np.sqrt(head_dim)
-    rows = pl.ds(bi * bc, bc)
     cdt = compute_dtype
     e = n_heads * head_dim
 
-    @pl.when(l == 0)
-    def _load():
-        x_scr[rows] = x_ref[...].astype(jnp.float32)
-
-    x = x_scr[rows]                                     # [BC, E] f32
-
     # ---- attention sublayer --------------------------------------------
-    h = _rms_f32(x, norm1[0, 0], eps)
-    dot = lambda a, w: jax.lax.dot_general(
-        a.astype(cdt), w, (((1,), (0,)), ((), ())),
+    h = _rms_f32(x, w["norm1"], eps)
+    dot = lambda a, wm: jax.lax.dot_general(
+        a.astype(cdt), wm, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    q = _rot_row(dot(h, wq[0]), cos_ref[...], sin_ref[...])     # [BC, E] f32
+    q = _rot_row(dot(h, w["wq"]), cos, sin)             # [BC, E] f32
     # GQA expansion: [BC, E_kv] @ replication [E_kv, E] -> [BC, E]
     # (rotation commutes with head replication, so rotate AFTER expanding
     # with the same folded q-width tables)
-    k_new = _rot_row(dot(dot(h, wk[0]).astype(cdt), rep_ref[...]),
-                     cos_ref[...], sin_ref[...])
-    v_new = dot(dot(h, wv[0]).astype(cdt), rep_ref[...])
-
-    # new rows blend into the 8-row cache tile around ``length`` and write
-    # STRAIGHT INTO the aliased cache outputs (scalar-prefetch output index
-    # map; Mosaic needs the second-minor out-block dim divisible by 8)
-    base = (len_ref[0] // 8) * 8
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
-           == (len_ref[0] - base))
-    ktile = kc_ref[0, :, pl.ds(base, 8)]
-    vtile = vc_ref[0, :, pl.ds(base, 8)]
-    row_k = k_new.astype(knew_ref.dtype)
-    row_v = v_new.astype(vnew_ref.dtype)
-    knew_ref[0] = jnp.where(sel, row_k[:, None, :], ktile)
-    vnew_ref[0] = jnp.where(sel, row_v[:, None, :], vtile)
+    k_new = _rot_row(dot(dot(h, w["wk"]).astype(cdt), rep), cos, sin)
+    v_new = dot(dot(h, w["wv"]).astype(cdt), rep)
+    row_k = k_new.astype(cache_dtype)
+    row_v = v_new.astype(cache_dtype)
 
     # all-head attention on the folded layout (per-head reductions ride tiny
     # MXU dots against 0/1 segment matrices — see fused_decode.py)
-    kc = kc_ref[0]                                      # [BC, S, E]
-    vc = vc_ref[0]
     bc_, _, e_ = kc.shape
     lane_head = (jax.lax.broadcasted_iota(jnp.int32, (e, n_heads), 0)
                  // head_dim)
@@ -121,7 +107,7 @@ def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
                             preferred_element_type=jnp.float32)
     s = s.reshape(bc_, seq, n_heads) * scale            # [BC, S, H]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (1, seq, 1), 1)
-             < len_ref[0])
+             < length)
     s = jnp.where(valid, s, NEG_INF)
     s_own = jax.lax.dot_general(q * k_new.astype(jnp.float32), seg_sum,
                                 (((1,), (0,)), ((), ())),
@@ -142,15 +128,50 @@ def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     o = o + own_wide * v_new.astype(jnp.float32)
-    x = x + dot(o, wo[0])
+    x = x + dot(o, w["wo"])
 
     # ---- SwiGLU MLP ------------------------------------------------------
-    h2 = _rms_f32(x, norm2[0, 0], eps)
-    g = dot(h2, wg[0])
-    u = dot(h2, wu[0])
+    h2 = _rms_f32(x, w["norm2"], eps)
+    g = dot(h2, w["wg"])
+    u = dot(h2, w["wu"])
     act = (g * jax.nn.sigmoid(g) * u).astype(cdt)
-    x = x + jax.lax.dot_general(act, wd[0], (((1,), (0,)), ((), ())),
+    x = x + jax.lax.dot_general(act, w["wd"], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+    return x, row_k, row_v
+
+
+def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
+            norm2, wg, wu, wd, kc_ref, vc_ref,
+            xout_ref, knew_ref, vnew_ref, x_scr, *,
+            n_layers: int, n_heads: int, head_dim: int, seq: int, bc: int,
+            eps: float, compute_dtype):
+    l = pl.program_id(0)
+    bi = pl.program_id(1)
+    rows = pl.ds(bi * bc, bc)
+
+    @pl.when(l == 0)
+    def _load():
+        x_scr[rows] = x_ref[...].astype(jnp.float32)
+
+    x = x_scr[rows]                                     # [BC, E] f32
+    w = {"norm1": norm1[0, 0], "wq": wq[0], "wk": wk[0], "wv": wv[0],
+         "wo": wo[0], "norm2": norm2[0, 0], "wg": wg[0], "wu": wu[0],
+         "wd": wd[0]}
+    x, row_k, row_v = _layer_math(
+        x, len_ref[0], w, kc_ref[0], vc_ref[0], cos_ref[...], sin_ref[...],
+        rep_ref[...], n_heads=n_heads, head_dim=head_dim, seq=seq, eps=eps,
+        compute_dtype=compute_dtype, cache_dtype=knew_ref.dtype)
+
+    # new rows blend into the 8-row cache tile around ``length`` and write
+    # STRAIGHT INTO the aliased cache outputs (scalar-prefetch output index
+    # map; Mosaic needs the second-minor out-block dim divisible by 8)
+    base = (len_ref[0] // 8) * 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+           == (len_ref[0] - base))
+    ktile = kc_ref[0, :, pl.ds(base, 8)]
+    vtile = vc_ref[0, :, pl.ds(base, 8)]
+    knew_ref[0] = jnp.where(sel, row_k[:, None, :], ktile)
+    vnew_ref[0] = jnp.where(sel, row_v[:, None, :], vtile)
 
     x_scr[rows] = x
 
@@ -202,6 +223,240 @@ def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
     return _pick_batch_chunk(b, s, e, e_kv, hidden, itemsize) > 0
 
 
+# ---------------------------------------------------------------------------
+# Manually-pipelined variant (the fused_decode.py:_kernel_pipelined pattern):
+# the grid kernel above leaves compute and DMA nearly serialized — at the
+# ~110M rescorer shape the 7 weight matrices (~186 MB/step bf16) dominate
+# the streams at small batch, so overlapping them under the VPU attention
+# and MXU dots is worth more here than it was for GPT-2. ONE program (no
+# grid): weights and caches arrive as HBM (ANY) refs and a fori_loop over
+# (layer, batch-chunk) steps double-buffers every stream with explicit
+# pltpu.make_async_copy — chunk (l, bi+1) and the next layer's weights
+# stream WHILE (l, bi) computes, and the 8-row cache write-backs drain
+# asynchronously two steps behind. The math is _layer_math — bit-identical
+# to the grid kernel by construction.
+# ---------------------------------------------------------------------------
+
+
+_CSLOTS = 3     # cache-chunk buffering depth (lookahead _CSLOTS - 1)
+
+
+def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
+                      norm1, norm2, wq_h, wk_h, wv_h, wo_h, wg_h, wu_h, wd_h,
+                      kc_h, vc_h,
+                      xout_ref, kco_h, vco_h,
+                      wq_s, wk_s, wv_s, wo_s, wg_s, wu_s, wd_s,
+                      kc_s, vc_s, kt_s, vt_s, x_scr, wsem, csem, tsem, *,
+                      n_layers: int, n_heads: int, head_dim: int, seq: int,
+                      bc: int, nc: int, eps: float, compute_dtype):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nsteps = n_layers * nc
+    length = len_ref[0]
+    base = (length // 8) * 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+           == (length - base))
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    rep = rep_ref[...]
+
+    wmats = ((wq_h, wq_s), (wk_h, wk_s), (wv_h, wv_s), (wo_h, wo_s),
+             (wg_h, wg_s), (wu_h, wu_s), (wd_h, wd_s))
+
+    def wcopies(l, lslot):
+        return [pltpu.make_async_copy(h.at[l], s.at[lslot], wsem.at[lslot, j])
+                for j, (h, s) in enumerate(wmats)]
+
+    def ccopies(l, bi, slot):
+        rows = pl.ds(bi * bc, bc)
+        return [
+            pltpu.make_async_copy(kc_h.at[l, rows], kc_s.at[slot],
+                                  csem.at[slot, 0]),
+            pltpu.make_async_copy(vc_h.at[l, rows], vc_s.at[slot],
+                                  csem.at[slot, 1]),
+        ]
+
+    def chunk_for(step):
+        """Start the (k, v) chunk DMAs for a flat step (traced int32)."""
+        ln = step // nc
+        for c in ccopies(ln, step - ln * nc, jax.lax.rem(step, _CSLOTS)):
+            c.start()
+
+    def tcopies(l, bi, slot):
+        rows = pl.ds(bi * bc, bc)
+        tile = pl.ds(base, 8)
+        return [
+            pltpu.make_async_copy(kt_s.at[slot], kco_h.at[l, rows, tile],
+                                  tsem.at[slot, 0]),
+            pltpu.make_async_copy(vt_s.at[slot], vco_h.at[l, rows, tile],
+                                  tsem.at[slot, 1]),
+        ]
+
+    for c in wcopies(0, 0):                             # warm-up
+        c.start()
+    for j in range(min(_CSLOTS - 1, nsteps)):           # chunk lookahead
+        for c in ccopies(j // nc, j % nc, j % _CSLOTS):
+            c.start()
+
+    def body(i, _):
+        l = i // nc
+        bi = i - l * nc
+        slot = jax.lax.rem(i, _CSLOTS)
+        tslot = jax.lax.rem(i, 2)
+        lslot = jax.lax.rem(l, 2)
+        nxt = i + (_CSLOTS - 1)
+
+        @pl.when(nxt < nsteps)
+        def _start_next():
+            chunk_for(nxt)
+
+        @pl.when(bi == 0)
+        def _wait_weights():
+            for c in wcopies(l, lslot):
+                c.wait()
+            # prefetch NEXT layer's weights a full layer ahead — the slot
+            # being overwritten held layer l-1's, whose compute is done
+            @pl.when(l + 1 < n_layers)
+            def _start_weights():
+                for c in wcopies(l + 1, jax.lax.rem(l + 1, 2)):
+                    c.start()
+
+        for c in ccopies(l, bi, slot):
+            c.wait()
+
+        # the tile scratch slot is reused every 2 steps: drain the
+        # write-back issued at step i-2 before overwriting it
+        @pl.when(i >= 2)
+        def _wait_tiles():
+            l2 = (i - 2) // nc
+            for c in tcopies(l2, (i - 2) - l2 * nc, tslot):
+                c.wait()
+
+        rows = pl.ds(bi * bc, bc)
+
+        @pl.when(l == 0)
+        def _load():
+            x_scr[rows] = x_ref[rows].astype(jnp.float32)
+
+        x = x_scr[rows]
+        # norm vectors ride as [L, 1, E]: the leading dim is untiled, so
+        # the dynamic layer index needs no sublane-alignment proof
+        w = {"norm1": norm1[l], "wq": wq_s[lslot], "wk": wk_s[lslot],
+             "wv": wv_s[lslot], "wo": wo_s[lslot], "norm2": norm2[l],
+             "wg": wg_s[lslot], "wu": wu_s[lslot], "wd": wd_s[lslot]}
+        x, row_k, row_v = _layer_math(
+            x, length, w, kc_s[slot], vc_s[slot], cos, sin, rep,
+            n_heads=n_heads, head_dim=head_dim, seq=seq, eps=eps,
+            compute_dtype=compute_dtype, cache_dtype=kt_s.dtype)
+
+        kt_s[tslot] = jnp.where(sel, row_k[:, None, :],
+                                kc_s[slot, :, pl.ds(base, 8)])
+        vt_s[tslot] = jnp.where(sel, row_v[:, None, :],
+                                vc_s[slot, :, pl.ds(base, 8)])
+        for c in tcopies(l, bi, tslot):
+            c.start()
+
+        x_scr[rows] = x
+
+        @pl.when(l == n_layers - 1)
+        def _store():
+            xout_ref[rows] = x.astype(xout_ref.dtype)
+
+        return _
+
+    jax.lax.fori_loop(0, nsteps, body, None)
+    for j in range(max(0, nsteps - 2), nsteps):         # drain write-backs
+        for c in tcopies(j // nc, j % nc, j % 2):
+            c.wait()
+
+
+def _vmem_estimate_pipelined(bc: int, s: int, e: int, e_kv: int, f: int,
+                             b: int, itemsize: int) -> int:
+    compute = max(itemsize, 2)
+    weights = 2 * (2 * e * e + 2 * e * e_kv + 3 * e * f) * compute  # 2 slots
+    caches = _CSLOTS * 2 * bc * s * e * compute         # slots x (k, v)
+    tiles = 2 * 2 * bc * 8 * e * compute
+    consts = 2 * e * 4 + e_kv * e * compute + 4 * e * 4     # rope, rep, norms
+    stack = bc * s * e * (3 * compute + 4) + 4 * bc * f * 4 + 12 * bc * e * 4
+    return weights + caches + tiles + consts + stack + 2 * b * e * 4
+
+
+def _pick_batch_chunk_pipelined(b: int, s: int, e: int, e_kv: int, f: int,
+                                itemsize: int) -> int:
+    for bc in (128, 64, 32, 16, 8):
+        if b % bc != 0:
+            continue
+        if _vmem_estimate_pipelined(bc, s, e, e_kv, f, b, itemsize) < (
+                VMEM_LIMIT * _HEADROOM):
+            return bc
+    return 0
+
+
+def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
+                                  cos_row, sin_row, *, n_layers: int,
+                                  n_heads: int, head_dim: int,
+                                  n_kv_heads: int, hidden: int, eps: float,
+                                  bc: int, compute_dtype, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, e = x.shape
+    s = k_cache.shape[2]
+    e_kv = n_kv_heads * head_dim
+    nc = b // bc
+    p = stacked
+    cdt = compute_dtype
+    cache_dt = k_cache.dtype
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    v3 = lambda a: a[:, None, :]
+    rep = replication_matrix(n_heads, n_kv_heads, head_dim, cdt)
+
+    operands = [jnp.reshape(length, (1,)).astype(jnp.int32), x,
+                cos_row.astype(jnp.float32), sin_row.astype(jnp.float32),
+                rep, v3(p["norm1_w"]), v3(p["norm2_w"]),
+                p["wq"], p["wk"], p["wv"], p["wo"],
+                p["wg"], p["wu"], p["wd"], k_cache, v_cache]
+    in_specs = ([smem, vmem, vmem, vmem, vmem, vmem, vmem]
+                + [any_spec] * 7 + [any_spec] * 2)
+
+    xo, kc_out, vc_out = pl.pallas_call(
+        functools.partial(_kernel_pipelined, n_layers=n_layers,
+                          n_heads=n_heads, head_dim=head_dim, seq=s, bc=bc,
+                          nc=nc, eps=eps, compute_dtype=cdt),
+        in_specs=in_specs,
+        out_specs=[vmem, any_spec, any_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, e), x.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, e), cdt),             # wq
+            pltpu.VMEM((2, e, e_kv), cdt),          # wk
+            pltpu.VMEM((2, e, e_kv), cdt),          # wv
+            pltpu.VMEM((2, e, e), cdt),             # wo
+            pltpu.VMEM((2, e, hidden), cdt),        # wg
+            pltpu.VMEM((2, e, hidden), cdt),        # wu
+            pltpu.VMEM((2, hidden, e), cdt),        # wd
+            pltpu.VMEM((_CSLOTS, bc, s, e), cache_dt),
+            pltpu.VMEM((_CSLOTS, bc, s, e), cache_dt),
+            pltpu.VMEM((2, bc, 8, e), cache_dt),
+            pltpu.VMEM((2, bc, 8, e), cache_dt),
+            pltpu.VMEM((b, e), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 7)),
+            pltpu.SemaphoreType.DMA((_CSLOTS, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={14: 1, 15: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return xo, kc_out, vc_out
+
+
 def replication_matrix(n_heads: int, n_kv_heads: int, head_dim: int,
                        dtype=jnp.bfloat16):
     """[E_kv, E] 0/1 matrix expanding folded kv lanes to folded q lanes
@@ -242,6 +497,23 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     s = k_cache.shape[2]
     e_kv = n_kv_heads * head_dim
     cdt = stacked["wq"].dtype
+    # FK_LLAMA_PIPE=1 selects the manually-double-buffered kernel — weights/
+    # caches as HBM refs, 3-slot chunk buffering, layer-ahead weight
+    # prefetch — bit-identical to the grid kernel (shared _layer_math; see
+    # fused_decode.py for the GPT measurement history of the same
+    # structure). Default OFF until TPU-priced (the fused-llama-gate
+    # convention: flip only after a real-chip measurement). Read at TRACE
+    # time — the first decode dispatch bakes the value into the jit cache.
+    import os
+    if os.environ.get("FK_LLAMA_PIPE", "0") == "1":
+        bcp = _pick_batch_chunk_pipelined(b, s, e, e_kv, hidden,
+                                          jnp.dtype(cdt).itemsize)
+        if bcp > 0 and n_layers * (b // bcp) >= 2:
+            return _fused_llama_decode_pipelined(
+                x, stacked, k_cache, v_cache, length, cos_row, sin_row,
+                n_layers=n_layers, n_heads=n_heads, head_dim=head_dim,
+                n_kv_heads=n_kv_heads, hidden=hidden, eps=eps, bc=bcp,
+                compute_dtype=cdt, interpret=interpret)
     bc = _pick_batch_chunk(b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize)
     assert bc > 0, "caller must gate on supported()"
     grid = (n_layers, b // bc)

@@ -180,6 +180,56 @@ def test_fused_decode_chain_crosses_tile_boundary():
                                np.asarray(s_cache[0]), atol=5e-5, rtol=1e-5)
 
 
+def test_fused_decode_pipelined_matches_grid_bitwise(monkeypatch):
+    """The manually-double-buffered kernel (FK_LLAMA_PIPE=1, default) against
+    the Mosaic-pipelined grid kernel: bit-IDENTICAL outputs and cache bytes —
+    they share _layer_math, so any drift is a staging/aliasing bug. Chains 3
+    steps from length 6 (writes rows 6, 7, 8 — crossing the 8-row tile
+    boundary) with bf16 weights, the serving dtype."""
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+
+    L, B, S, E, H, KV, F = 3, 16, 16, 256, 4, 2, 256
+    HD = E // H
+    rng = np.random.default_rng(11)
+    arr = lambda *sh, dt=jnp.bfloat16, sc=0.1: jnp.asarray(
+        rng.standard_normal(sh) * sc, dt)
+    p = {"norm1_w": arr(L, E, dt=jnp.float32) + 1,
+         "wq": arr(L, E, E), "wk": arr(L, E, KV * HD),
+         "wv": arr(L, E, KV * HD), "wo": arr(L, E, E),
+         "norm2_w": arr(L, E, dt=jnp.float32) + 1,
+         "wg": arr(L, E, F), "wu": arr(L, E, F), "wd": arr(L, F, E)}
+    kc0 = arr(L, B, S, E, sc=1.0)
+    vc0 = arr(L, B, S, E, sc=1.0)
+    from frankenstein_tpu.ops import rope as rope_ops
+    table = rope_ops.build_rope_cache(HD, S, 10000.0)
+    cos_e, sin_e = rope_ops.folded_tables(table, H)
+
+    lengths = (6, 7, 8)
+    xs_in = [arr(B, E, sc=1.0 + i) for i in range(len(lengths))]
+
+    def chain(flag):
+        monkeypatch.setenv("FK_LLAMA_PIPE", flag)
+        fld.fused_llama_decode_blocks._clear_cache()
+        kc, vc = jnp.copy(kc0), jnp.copy(vc0)
+        outs = []
+        for x, length in zip(xs_in, lengths):
+            cos = jax.lax.dynamic_slice_in_dim(cos_e, length, 1)
+            sin = jax.lax.dynamic_slice_in_dim(sin_e, length, 1)
+            xo, kc, vc = fld.fused_llama_decode_blocks(
+                x, p, kc, vc, jnp.int32(length), cos, sin,
+                n_layers=L, n_heads=H, head_dim=HD, n_kv_heads=KV,
+                hidden=F, eps=1e-5, interpret=True)
+            outs.append(xo)
+        fld.fused_llama_decode_blocks._clear_cache()
+        return outs, kc, vc
+
+    xs_g, kc_g, vc_g = chain("0")
+    xs_p, kc_p, vc_p = chain("1")
+    for a, b in zip(xs_g + [kc_g, vc_g], xs_p + [kc_p, vc_p]):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_candidates_from_beams_masks_pad_tail():
     # the seed token is prepended and the first EOT is KEPT (so every
     # hypothesis prices log P(tokens, EOT | seed) < 0 — an empty beam must
