@@ -48,6 +48,24 @@ _quantize_weights_jit = jax.jit(gpt2.quantize_decode_weights,
                                 static_argnums=(1,))
 
 
+@functools.lru_cache(maxsize=1)
+def _quantize_llama_weights_jit():
+    from frankenstein_tpu.models import llama as llama_mod
+    return jax.jit(llama_mod.quantize_decode_weights, static_argnums=(1,))
+
+
+def _quantize_weights_for(module, params):
+    """Route ``int8_weights=True`` to the model family's quantizer: GPT
+    trees stack blocks under "h", LLaMA trees under "layers" (both possibly
+    below a Franky composite's "llm_model")."""
+    dt = getattr(module, "dtype", jnp.bfloat16)
+    p = params.get("params", params)
+    p = p.get("llm_model", p)
+    if "layers" in p and "h" not in p:
+        return _quantize_llama_weights_jit()(params, dt)
+    return _quantize_weights_jit(params, dt)
+
+
 def _round_cache_len(n: int, mult: int = 16) -> int:
     """Round the KV-cache length up to a TPU-tileable multiple — padding rows
     are masked out anyway, and the fused decode kernel
@@ -134,9 +152,8 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
-    qweights = (_quantize_weights_jit(
-        params, getattr(module, "dtype", jnp.bfloat16))
-        if int8_weights else None)
+    qweights = (_quantize_weights_for(module, params)
+                if int8_weights else None)
     return _sample_scan(module, params, logits, cache, length, rng,
                         qweights=qweights,
                         max_new_tokens=max_new_tokens, temperature=temperature,
@@ -258,9 +275,8 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                                           rep(prefix), max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
-    qweights = (_quantize_weights_jit(
-        params, getattr(module, "dtype", jnp.bfloat16))
-        if int8_weights else None)
+    qweights = (_quantize_weights_for(module, params)
+                if int8_weights else None)
     return _beam_scan(module, params, logits, cache, length, b,
                       qweights=qweights,
                       max_new_tokens=max_new_tokens, beam_width=w,
@@ -417,9 +433,8 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                                           rep(prefix), max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
-    qweights = (_quantize_weights_jit(
-        params, getattr(module, "dtype", jnp.bfloat16))
-        if int8_weights else None)
+    qweights = (_quantize_weights_for(module, params)
+                if int8_weights else None)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
                               qweights=qweights,
                               max_new_tokens=max_new_tokens, beam_width=w,

@@ -46,6 +46,20 @@ def _stack_llama_decode_weights(layer_params, cdt):
     }
 
 
+def quantize_decode_weights(params, dtype=jnp.bfloat16) -> dict:
+    """w8a16 serving mode for the LLaMA decode path: quantize the block
+    matmul weights to int8 with per-(layer, out-lane) scales
+    (fused_llama_decode.quantize_weights). Call ONCE per decode dispatch —
+    outside the token scan — and hand the result to
+    ``decode_step(..., qweights=...)``. Accepts Llama or FrankyLlama param
+    trees. Only the fused TPU decode path consumes it."""
+    p = params.get("params", params)
+    if "llm_model" in p:
+        p = p["llm_model"]
+    return fused_llama_decode.quantize_weights(
+        _stack_llama_decode_weights(p["layers"], dtype))
+
+
 @dataclass(frozen=True)
 class LlamaConfig(_SerializableMixin):
     vocab_size: int = 128256        # llama-3 defaults
@@ -240,10 +254,10 @@ class Llama(nn.Module):
         ONE fused Pallas program (ops/pallas/fused_llama_decode.py —
         RMSNorm + in-kernel rope + GQA attention + SwiGLU; measured 1.47x
         over the scanned path at the ~110M rescorer shape);
-        ``FK_LLAMA_FUSED=0`` reverts to the scanned XLA path."""
-        if qweights is not None:
-            raise NotImplementedError(
-                "Llama has no w8a16 decode path; pass int8_weights=False")
+        ``FK_LLAMA_FUSED=0`` reverts to the scanned XLA path. ``qweights``
+        (an int8 block-weight dict from ``quantize_decode_weights``, w8a16)
+        requires the fused path — the weight stream it halves is ~73% of
+        the LLaMA decode step's HBM bytes at rescorer batch sizes."""
         if hasattr(cache, "k_scale"):       # gpt2.QuantCache
             raise NotImplementedError(
                 "Llama has no int8-KV decode path; pass int8_kv=False")
@@ -267,8 +281,9 @@ class Llama(nn.Module):
             cos_e, sin_e = rope_ops.folded_tables(table, c.n_heads)
             cos = jax.lax.dynamic_slice_in_dim(cos_e, length, 1)
             sin = jax.lax.dynamic_slice_in_dim(sin_e, length, 1)
-            stacked = _stack_llama_decode_weights(
-                self.variables["params"]["layers"], self.dtype)
+            stacked = qweights if qweights is not None else (
+                _stack_llama_decode_weights(
+                    self.variables["params"]["layers"], self.dtype))
             xo, kc, vc = fused_llama_decode.fused_llama_decode_blocks(
                 x, stacked, k_cache, cache[1], length, cos, sin,
                 n_layers=c.n_layers, n_heads=c.n_heads,
@@ -276,6 +291,10 @@ class Llama(nn.Module):
                 hidden=c.hidden_dim, eps=c.norm_eps)
             x = self.norm_f(xo[:, None])
             return self._head(x)[:, 0], (kc, vc), length + 1
+        if qweights is not None:
+            raise NotImplementedError(
+                "w8a16 Llama decode requires the fused TPU path "
+                "(ops/pallas/fused_llama_decode.py); drop qweights off-TPU")
         x = jnp.take(self.embed, token[:, None], axis=0).astype(self.dtype)
         (x, _, _), cache = self.layers((x, length, jnp.float32(0.0)), cache)
         x = self.norm_f(x)

@@ -17,7 +17,13 @@ that is pure bandwidth). Differences from the GPT kernel:
   freshly projected [BC, E_kv] k/v rows to [BC, E] with one dot against a
   constant replication matrix before rotation/storage;
 - SwiGLU MLP (three matmuls, silu gate) instead of GELU;
-- no quantized modes (the LLaMA path has no int8 KV / w8a16 contract).
+- w8a16 serving mode (``quantize_weights``: int8 matrices, per-(layer,
+  out-lane) scales dequantized exactly after each dot) mirrors the GPT
+  kernel's; it matters MORE here — at the ~110M rescorer shape, b=32, the
+  7 weight matrices are ~73% of the step's HBM bytes (vs ~34% for GPT-2
+  at b=128), so halving the weight stream attacks the dominant term.
+  int8 KV remains GPT-only (the LLaMA caches are small at rescorer
+  batch sizes).
 
 The reference has no LLaMA at all (its README names the stage as intent,
 reference:README.md:19) and no cached decode for any model
@@ -60,7 +66,7 @@ def _rot_row(x, cos, sin):
 
 def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
                 head_dim: int, seq: int, eps: float, compute_dtype,
-                cache_dtype):
+                cache_dtype, quant_w: bool = False):
     """One layer's math for one batch chunk — shared VERBATIM by the
     Mosaic-pipelined grid kernel (``_kernel``) and the manually-double-
     buffered one (``_kernel_pipelined``) so their outputs are bit-identical
@@ -69,9 +75,12 @@ def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
     x: [BC, E] f32 residual; length: scalar int32; kc/vc: [BC, S, E]
     cache-dtype arrays (stale — the new row folds in as an extra logit);
     w: dict of this layer's arrays — norm1/norm2 [1, E] (or [E]), matmul
-    kernels [in, out] in the compute dtype; cos/sin [1, E] f32 folded rope
-    rows; rep [E_kv, E] replication matrix. Returns (x' [BC, E] f32,
-    row_k, row_v [BC, E] in ``cache_dtype``)."""
+    kernels [in, out] in the compute dtype (int8 codes when ``quant_w``,
+    converted in-register, plus per-out-lane scales "sq".."sd" [1, out]
+    applied EXACTLY after each f32 dot output — symmetric per-channel
+    quantization, the fused_decode.py w8a16 contract); cos/sin [1, E] f32
+    folded rope rows; rep [E_kv, E] replication matrix. Returns
+    (x' [BC, E] f32, row_k, row_v [BC, E] in ``cache_dtype``)."""
     scale = 1.0 / np.sqrt(head_dim)
     cdt = compute_dtype
     e = n_heads * head_dim
@@ -79,14 +88,21 @@ def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
     # ---- attention sublayer --------------------------------------------
     h = _rms_f32(x, w["norm1"], eps)
     dot = lambda a, wm: jax.lax.dot_general(
-        a.astype(cdt), wm, (((1,), (0,)), ((), ())),
+        a.astype(cdt), wm.astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    q = _rot_row(dot(h, w["wq"]), cos, sin)             # [BC, E] f32
+    q_pre = dot(h, w["wq"])
+    k_pre = dot(h, w["wk"])
+    v_pre = dot(h, w["wv"])
+    if quant_w:
+        q_pre = q_pre * w["sq"]
+        k_pre = k_pre * w["sk"]
+        v_pre = v_pre * w["sv"]
+    q = _rot_row(q_pre, cos, sin)                       # [BC, E] f32
     # GQA expansion: [BC, E_kv] @ replication [E_kv, E] -> [BC, E]
     # (rotation commutes with head replication, so rotate AFTER expanding
     # with the same folded q-width tables)
-    k_new = _rot_row(dot(dot(h, w["wk"]).astype(cdt), rep), cos, sin)
-    v_new = dot(dot(h, w["wv"]).astype(cdt), rep)
+    k_new = _rot_row(dot(k_pre, rep), cos, sin)
+    v_new = dot(v_pre, rep)
     row_k = k_new.astype(cache_dtype)
     row_v = v_new.astype(cache_dtype)
 
@@ -128,23 +144,41 @@ def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     o = o + own_wide * v_new.astype(jnp.float32)
-    x = x + dot(o, w["wo"])
+    y = dot(o, w["wo"])
+    if quant_w:
+        y = y * w["so"]
+    x = x + y
 
     # ---- SwiGLU MLP ------------------------------------------------------
     h2 = _rms_f32(x, w["norm2"], eps)
     g = dot(h2, w["wg"])
     u = dot(h2, w["wu"])
+    if quant_w:
+        g = g * w["sg"]
+        u = u * w["su"]
     act = (g * jax.nn.sigmoid(g) * u).astype(cdt)
-    x = x + jax.lax.dot_general(act, w["wd"], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    y2 = jax.lax.dot_general(act, w["wd"].astype(cdt),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if quant_w:
+        y2 = y2 * w["sd"]
+    x = x + y2
     return x, row_k, row_v
 
 
+_SCALE_KEYS = ("sq", "sk", "sv", "so", "sg", "su", "sd")
+
+
 def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
-            norm2, wg, wu, wd, kc_ref, vc_ref,
-            xout_ref, knew_ref, vnew_ref, x_scr, *,
+            norm2, wg, wu, wd, kc_ref, vc_ref, *rest,
             n_layers: int, n_heads: int, head_dim: int, seq: int, bc: int,
-            eps: float, compute_dtype):
+            eps: float, compute_dtype, quant_w: bool):
+    # per-out-lane dequant scale inputs appear ONLY in the w8a16 mode — the
+    # float path keeps its original op and DMA count (the fused_decode.py
+    # convention: Mosaic cannot constant-fold runtime ones-arrays)
+    i = 7 if quant_w else 0
+    scales = rest[:i]
+    xout_ref, knew_ref, vnew_ref, x_scr = rest[i:i + 4]
     l = pl.program_id(0)
     bi = pl.program_id(1)
     rows = pl.ds(bi * bc, bc)
@@ -157,10 +191,14 @@ def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
     w = {"norm1": norm1[0, 0], "wq": wq[0], "wk": wk[0], "wv": wv[0],
          "wo": wo[0], "norm2": norm2[0, 0], "wg": wg[0], "wu": wu[0],
          "wd": wd[0]}
+    if quant_w:
+        for key, ref in zip(_SCALE_KEYS, scales):
+            w[key] = ref[0]
     x, row_k, row_v = _layer_math(
         x, len_ref[0], w, kc_ref[0], vc_ref[0], cos_ref[...], sin_ref[...],
         rep_ref[...], n_heads=n_heads, head_dim=head_dim, seq=seq, eps=eps,
-        compute_dtype=compute_dtype, cache_dtype=knew_ref.dtype)
+        compute_dtype=compute_dtype, cache_dtype=knew_ref.dtype,
+        quant_w=quant_w)
 
     # new rows blend into the 8-row cache tile around ``length`` and write
     # STRAIGHT INTO the aliased cache outputs (scalar-prefetch output index
@@ -243,13 +281,17 @@ _CSLOTS = 3     # cache-chunk buffering depth (lookahead _CSLOTS - 1)
 
 def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
                       norm1, norm2, wq_h, wk_h, wv_h, wo_h, wg_h, wu_h, wd_h,
-                      kc_h, vc_h,
-                      xout_ref, kco_h, vco_h,
-                      wq_s, wk_s, wv_s, wo_s, wg_s, wu_s, wd_s,
-                      kc_s, vc_s, kt_s, vt_s, x_scr, wsem, csem, tsem, *,
+                      kc_h, vc_h, *rest,
                       n_layers: int, n_heads: int, head_dim: int, seq: int,
-                      bc: int, nc: int, eps: float, compute_dtype):
+                      bc: int, nc: int, eps: float, compute_dtype,
+                      quant_w: bool):
     from jax.experimental.pallas import tpu as pltpu
+
+    i = 7 if quant_w else 0
+    scale_refs = rest[:i]                               # [L, 1, out] f32 VMEM
+    (xout_ref, kco_h, vco_h,
+     wq_s, wk_s, wv_s, wo_s, wg_s, wu_s, wd_s,
+     kc_s, vc_s, kt_s, vt_s, x_scr, wsem, csem, tsem) = rest[i:i + 18]
 
     nsteps = n_layers * nc
     length = len_ref[0]
@@ -344,10 +386,14 @@ def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
         w = {"norm1": norm1[l], "wq": wq_s[lslot], "wk": wk_s[lslot],
              "wv": wv_s[lslot], "wo": wo_s[lslot], "norm2": norm2[l],
              "wg": wg_s[lslot], "wu": wu_s[lslot], "wd": wd_s[lslot]}
+        if quant_w:
+            for key, ref in zip(_SCALE_KEYS, scale_refs):
+                w[key] = ref[l]
         x, row_k, row_v = _layer_math(
             x, length, w, kc_s[slot], vc_s[slot], cos, sin, rep,
             n_heads=n_heads, head_dim=head_dim, seq=seq, eps=eps,
-            compute_dtype=compute_dtype, cache_dtype=kt_s.dtype)
+            compute_dtype=compute_dtype, cache_dtype=kt_s.dtype,
+            quant_w=quant_w)
 
         kt_s[tslot] = jnp.where(sel, row_k[:, None, :],
                                 kc_s[slot, :, pl.ds(base, 8)])
@@ -371,9 +417,12 @@ def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
 
 
 def _vmem_estimate_pipelined(bc: int, s: int, e: int, e_kv: int, f: int,
-                             b: int, itemsize: int) -> int:
+                             b: int, itemsize: int, w_itemsize: int) -> int:
+    """``w_itemsize`` sizes the double-buffered weight slots (int8 halves
+    them in the w8a16 mode); the compute temporaries and cache chunks stay
+    at the compute width."""
     compute = max(itemsize, 2)
-    weights = 2 * (2 * e * e + 2 * e * e_kv + 3 * e * f) * compute  # 2 slots
+    weights = 2 * (2 * e * e + 2 * e * e_kv + 3 * e * f) * w_itemsize
     caches = _CSLOTS * 2 * bc * s * e * compute         # slots x (k, v)
     tiles = 2 * 2 * bc * 8 * e * compute
     consts = 2 * e * 4 + e_kv * e * compute + 4 * e * 4     # rope, rep, norms
@@ -382,12 +431,14 @@ def _vmem_estimate_pipelined(bc: int, s: int, e: int, e_kv: int, f: int,
 
 
 def _pick_batch_chunk_pipelined(b: int, s: int, e: int, e_kv: int, f: int,
-                                itemsize: int) -> int:
+                                itemsize: int, w_itemsize: int = None) -> int:
+    if w_itemsize is None:
+        w_itemsize = max(itemsize, 2)
     for bc in (128, 64, 32, 16, 8):
         if b % bc != 0:
             continue
-        if _vmem_estimate_pipelined(bc, s, e, e_kv, f, b, itemsize) < (
-                VMEM_LIMIT * _HEADROOM):
+        if _vmem_estimate_pipelined(bc, s, e, e_kv, f, b, itemsize,
+                                    w_itemsize) < (VMEM_LIMIT * _HEADROOM):
             return bc
     return 0
 
@@ -396,7 +447,8 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
                                   cos_row, sin_row, *, n_layers: int,
                                   n_heads: int, head_dim: int,
                                   n_kv_heads: int, hidden: int, eps: float,
-                                  bc: int, compute_dtype, interpret: bool):
+                                  bc: int, compute_dtype, quant_w: bool,
+                                  interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     b, e = x.shape
@@ -405,6 +457,7 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
     nc = b // bc
     p = stacked
     cdt = compute_dtype
+    wdt = p["wq"].dtype                 # int8 in the w8a16 serving mode
     cache_dt = k_cache.dtype
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -419,11 +472,15 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
                 p["wg"], p["wu"], p["wd"], k_cache, v_cache]
     in_specs = ([smem, vmem, vmem, vmem, vmem, vmem, vmem]
                 + [any_spec] * 7 + [any_spec] * 2)
+    if quant_w:
+        operands += [p[k + "_s"] for k in WEIGHT_KEYS]   # [L, 1, out] f32
+        in_specs += [vmem] * 7
 
     xo, kc_out, vc_out = pl.pallas_call(
         functools.partial(_kernel_pipelined, n_layers=n_layers,
                           n_heads=n_heads, head_dim=head_dim, seq=s, bc=bc,
-                          nc=nc, eps=eps, compute_dtype=cdt),
+                          nc=nc, eps=eps, compute_dtype=cdt,
+                          quant_w=quant_w),
         in_specs=in_specs,
         out_specs=[vmem, any_spec, any_spec],
         out_shape=[
@@ -432,13 +489,13 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, e, e), cdt),             # wq
-            pltpu.VMEM((2, e, e_kv), cdt),          # wk
-            pltpu.VMEM((2, e, e_kv), cdt),          # wv
-            pltpu.VMEM((2, e, e), cdt),             # wo
-            pltpu.VMEM((2, e, hidden), cdt),        # wg
-            pltpu.VMEM((2, e, hidden), cdt),        # wu
-            pltpu.VMEM((2, hidden, e), cdt),        # wd
+            pltpu.VMEM((2, e, e), wdt),             # wq
+            pltpu.VMEM((2, e, e_kv), wdt),          # wk
+            pltpu.VMEM((2, e, e_kv), wdt),          # wv
+            pltpu.VMEM((2, e, e), wdt),             # wo
+            pltpu.VMEM((2, e, hidden), wdt),        # wg
+            pltpu.VMEM((2, e, hidden), wdt),        # wu
+            pltpu.VMEM((2, hidden, e), wdt),        # wd
             pltpu.VMEM((_CSLOTS, bc, s, e), cache_dt),
             pltpu.VMEM((_CSLOTS, bc, s, e), cache_dt),
             pltpu.VMEM((2, bc, 8, e), cache_dt),
@@ -455,6 +512,29 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
         interpret=interpret,
     )(*operands)
     return xo, kc_out, vc_out
+
+
+WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+
+def quantize_weights(stacked):
+    """w8a16 serving mode: int8 matrices + per-(layer, out-lane) scales.
+
+    Symmetric per-output-channel quantization — the dequant scale applies
+    EXACTLY after the dot (y_j = s_j * sum_i x_i w8_ij), so the kernel's MXU
+    dot runs on converted int8 codes and the only approximation is the
+    rounding of the weights themselves (the fused_decode.quantize_weights
+    contract). Returns a copy of ``stacked`` with each weight [L, in, out]
+    replaced by int8 codes and a matching ``<key>_s`` [L, 1, out] f32 added.
+    Quantize ONCE per decode dispatch (outside the token scan)."""
+    out = dict(stacked)
+    for key in WEIGHT_KEYS:
+        w = stacked[key].astype(jnp.float32)                  # [L, in, out]
+        absmax = jnp.max(jnp.abs(w), axis=1)                  # [L, out]
+        s = (jnp.maximum(absmax, 1e-8) / 127.0)[:, None, :]   # [L, 1, out]
+        out[key] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        out[key + "_s"] = s
+    return out
 
 
 def replication_matrix(n_heads: int, n_kv_heads: int, head_dim: int,
@@ -496,7 +576,10 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     b, e = x.shape
     s = k_cache.shape[2]
     e_kv = n_kv_heads * head_dim
-    cdt = stacked["wq"].dtype
+    w8 = stacked["wq"].dtype == jnp.int8          # w8a16 serving mode
+    # compute dtype: the cache's float dtype when weights are int8 codes
+    # (the returned rows scatter straight into it); else the weight dtype
+    cdt = k_cache.dtype if w8 else stacked["wq"].dtype
     # FK_LLAMA_PIPE=1 selects the manually-double-buffered kernel — weights/
     # caches as HBM refs, 3-slot chunk buffering, layer-ahead weight
     # prefetch — bit-identical to the grid kernel (shared _layer_math; see
@@ -506,14 +589,15 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     # time — the first decode dispatch bakes the value into the jit cache.
     import os
     if os.environ.get("FK_LLAMA_PIPE", "0") == "1":
-        bcp = _pick_batch_chunk_pipelined(b, s, e, e_kv, hidden,
-                                          jnp.dtype(cdt).itemsize)
+        bcp = _pick_batch_chunk_pipelined(
+            b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize,
+            jnp.dtype(stacked["wq"].dtype).itemsize)
         if bcp > 0 and n_layers * (b // bcp) >= 2:
             return _fused_llama_decode_pipelined(
                 x, stacked, k_cache, v_cache, length, cos_row, sin_row,
                 n_layers=n_layers, n_heads=n_heads, head_dim=head_dim,
                 n_kv_heads=n_kv_heads, hidden=hidden, eps=eps, bc=bcp,
-                compute_dtype=cdt, interpret=interpret)
+                compute_dtype=cdt, quant_w=w8, interpret=interpret)
     bc = _pick_batch_chunk(b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize)
     assert bc > 0, "caller must gate on supported()"
     grid = (n_layers, b // bc)
@@ -534,6 +618,10 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
         pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
         pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
     ]
+    if w8:
+        # per-out-lane dequant scales, one [1, out] row per layer
+        in_specs += [vec(e), vec(e_kv), vec(e_kv), vec(e),
+                     vec(hidden), vec(hidden), vec(e)]
     out_specs = [
         pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
         pl.BlockSpec((1, bc, 8, e),
@@ -556,7 +644,7 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     xo, kc_out, vc_out = pl.pallas_call(
         functools.partial(_kernel, n_layers=n_layers, n_heads=n_heads,
                           head_dim=head_dim, seq=s, bc=bc, eps=eps,
-                          compute_dtype=cdt),
+                          compute_dtype=cdt, quant_w=w8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, e), x.dtype),
@@ -574,5 +662,6 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
       cos_row.astype(jnp.float32), sin_row.astype(jnp.float32), rep,
       v3(p["norm1_w"]), p["wq"], p["wk"], p["wv"], p["wo"],
       v3(p["norm2_w"]), p["wg"], p["wu"], p["wd"],
-      k_cache, v_cache)
+      k_cache, v_cache,
+      *([p[k + "_s"] for k in WEIGHT_KEYS] if w8 else []))
     return xo, kc_out, vc_out

@@ -180,12 +180,14 @@ def test_fused_decode_chain_crosses_tile_boundary():
                                np.asarray(s_cache[0]), atol=5e-5, rtol=1e-5)
 
 
-def test_fused_decode_pipelined_matches_grid_bitwise(monkeypatch):
-    """The manually-double-buffered kernel (FK_LLAMA_PIPE=1, default) against
-    the Mosaic-pipelined grid kernel: bit-IDENTICAL outputs and cache bytes —
+@pytest.mark.parametrize("w8", [False, True])
+def test_fused_decode_pipelined_matches_grid_bitwise(monkeypatch, w8):
+    """The manually-double-buffered kernel (FK_LLAMA_PIPE=1) against the
+    Mosaic-pipelined grid kernel: bit-IDENTICAL outputs and cache bytes —
     they share _layer_math, so any drift is a staging/aliasing bug. Chains 3
     steps from length 6 (writes rows 6, 7, 8 — crossing the 8-row tile
-    boundary) with bf16 weights, the serving dtype."""
+    boundary) with bf16 weights, the serving dtype; ``w8`` covers the
+    w8a16 mode (int8 weight slots + per-out-lane scale refs)."""
     from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
 
     L, B, S, E, H, KV, F = 3, 16, 16, 256, 4, 2, 256
@@ -198,6 +200,8 @@ def test_fused_decode_pipelined_matches_grid_bitwise(monkeypatch):
          "wv": arr(L, E, KV * HD), "wo": arr(L, E, E),
          "norm2_w": arr(L, E, dt=jnp.float32) + 1,
          "wg": arr(L, E, F), "wu": arr(L, E, F), "wd": arr(L, F, E)}
+    if w8:
+        p = fld.quantize_weights(p)
     kc0 = arr(L, B, S, E, sc=1.0)
     vc0 = arr(L, B, S, E, sc=1.0)
     from frankenstein_tpu.ops import rope as rope_ops
@@ -228,6 +232,73 @@ def test_fused_decode_pipelined_matches_grid_bitwise(monkeypatch):
     for a, b in zip(xs_g + [kc_g, vc_g], xs_p + [kc_p, vc_p]):
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+
+
+def test_fused_decode_w8a16_matches_dequantized():
+    """w8a16 mechanism for the LLaMA kernel: the in-kernel weight dequant
+    (per-out-lane scale applied to the f32 dot output) must equal the float
+    kernel run on the dequantized weights — exact in f32 interpret mode;
+    then the drift vs the unquantized weights is bounded by the int8
+    rounding itself (the test_gpt2.py w8a16 contract)."""
+    from frankenstein_tpu.ops import rope as rope_ops
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+
+    L, B, S, E, H, KV, F = 2, 8, 16, 256, 4, 2, 256
+    HD = E // H
+    rng = np.random.default_rng(12)
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc,
+                                          jnp.float32)
+    p = {"norm1_w": arr(L, E) + 1, "wq": arr(L, E, E),
+         "wk": arr(L, E, KV * HD), "wv": arr(L, E, KV * HD),
+         "wo": arr(L, E, E), "norm2_w": arr(L, E) + 1,
+         "wg": arr(L, E, F), "wu": arr(L, E, F), "wd": arr(L, F, E)}
+    qw = fld.quantize_weights(p)
+    deq = dict(p)
+    for key in fld.WEIGHT_KEYS:
+        deq[key] = qw[key].astype(jnp.float32) * qw[key + "_s"]
+
+    kc = arr(L, B, S, E, sc=1.0)
+    vc = arr(L, B, S, E, sc=1.0)
+    x = arr(B, E, sc=1.0)
+    table = rope_ops.build_rope_cache(HD, S, 10000.0)
+    cos_e, sin_e = rope_ops.folded_tables(table, H)
+    length = 9
+    cos = jax.lax.dynamic_slice_in_dim(cos_e, length, 1)
+    sin = jax.lax.dynamic_slice_in_dim(sin_e, length, 1)
+
+    run = lambda stacked: fld.fused_llama_decode_blocks(
+        x, stacked, jnp.copy(kc), jnp.copy(vc), jnp.int32(length), cos, sin,
+        n_layers=L, n_heads=H, head_dim=HD, n_kv_heads=KV, hidden=F,
+        eps=1e-5, interpret=True)
+    xo_q, kc_q, vc_q = run(qw)
+    xo_d, kc_d, vc_d = run(deq)
+    np.testing.assert_allclose(np.asarray(xo_q), np.asarray(xo_d),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kc_q), np.asarray(kc_d),
+                               atol=1e-5, rtol=1e-5)
+
+    # drift vs the unquantized weights bounded (per-channel int8 rounding)
+    xo_f, _, _ = run(p)
+    scale = float(np.max(np.abs(np.asarray(xo_f)))) + 1e-6
+    drift = float(np.max(np.abs(np.asarray(xo_q) - np.asarray(xo_f)))) / scale
+    assert drift < 0.05, drift
+
+
+def test_llama_quantize_decode_weights_tree_routing(tiny):
+    """llama.quantize_decode_weights accepts Llama param trees and produces
+    int8 codes + [L, 1, out] scales for all 7 matrices; the sampling-layer
+    dispatcher routes a LLaMA tree to it (not the GPT quantizer)."""
+    from frankenstein_tpu.decode import sampling
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+    model, params, cfg = tiny
+    qw = llama.quantize_decode_weights(params, jnp.float32)
+    for key in fld.WEIGHT_KEYS:
+        assert qw[key].dtype == jnp.int8
+        assert qw[key + "_s"].shape == (cfg.n_layers, 1, qw[key].shape[-1])
+    qw2 = sampling._quantize_weights_for(model, params)
+    for key in fld.WEIGHT_KEYS:
+        np.testing.assert_array_equal(np.asarray(qw[key]),
+                                      np.asarray(qw2[key]))
 
 
 def test_candidates_from_beams_masks_pad_tail():
