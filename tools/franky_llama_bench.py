@@ -11,6 +11,9 @@ round 4 that is the fused all-layer LLaMA kernel
 to the scanned XLA path for a control run).
 
 Run on the real TPU: python tools/franky_llama_bench.py [batch] [beam_width]
+[w8] — w8 (default 1) streams int8 block weights with per-out-lane scales
+through the decode scans (measured 1.19-1.24x on the LLaMA kernel at b=32,
+tools/llama_decode_probe.py 2026-08-20); w8=0 reverts to bf16 weights.
 """
 
 import json
@@ -20,7 +23,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(batch: int = 32, beam: int = 5, max_new: int = 25):
+def main(batch: int = 32, beam: int = 5, max_new: int = 25, w8: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -52,14 +55,16 @@ def main(batch: int = 32, beam: int = 5, max_new: int = 25):
     def greedy_fn(params, key):
         prefix = jax.random.normal(key, (batch, ptok, pdim), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
-                                 max_new_tokens=max_new, top_k=10)
+                                 max_new_tokens=max_new, top_k=10,
+                                 int8_weights=bool(w8))
 
     def beams_fn(params, key):
         prefix = jax.random.normal(key, (batch, ptok, pdim), jnp.float32)
         toks, _ = sampling.beam_search(model, params, idx0, prefix,
                                        max_new_tokens=max_new,
                                        beam_width=beam, eos_id=GPT2_EOT,
-                                       length_penalty=1.0)
+                                       length_penalty=1.0,
+                                       int8_weights=bool(w8))
         return toks.astype(jnp.float32)
 
     def rescore_fn(params, key):
@@ -78,6 +83,7 @@ def main(batch: int = 32, beam: int = 5, max_new: int = 25):
 
     print(json.dumps({
         "model": "franky-llama (~110M LM, flagship brain)",
+        "w8a16": bool(w8),
         "batch": batch,
         "beam_width": beam,
         "encode_ms_per_batch": round(encode_s * 1000, 1),
@@ -93,4 +99,5 @@ def main(batch: int = 32, beam: int = 5, max_new: int = 25):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 5)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 5,
+         w8=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
