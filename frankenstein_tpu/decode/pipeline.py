@@ -34,14 +34,25 @@ def make_franky_predictor(model, params, tokenizer, *,
                           beam_width: int = 0,
                           eot_id: int = GPT2_EOT,
                           seed: int = 0,
-                          rescorer=None) -> Callable:
+                          rescorer=None,
+                          int8_weights: bool = False) -> Callable:
     """Returns predict_fn(xs [B, T, C]) -> list[str] (length B).
 
     ``rescorer``: optional ``(lm_module, lm_params)`` or
     ``(lm_module, lm_params, alpha)`` — with ``beam_width > 1`` the full
     n-best list is re-ranked by interpolated LM log-probability
     (models/llama.py:rescore_candidates; the reference README's
-    `... -> LLAMA 3` stage, unimplemented there)."""
+    `... -> LLAMA 3` stage, unimplemented there).
+
+    ``int8_weights=True`` streams w8a16 block weights through the decode
+    scans (per-out-lane-scale dequant, tolerance-tested): measured 1.08x
+    on GPT-2 decode at b=128 and 1.20x on the FrankyLlama LLaMA at b=32
+    (BASELINE.md). Off by default here so eval/WER flows stay
+    exact-weight unless the caller opts in. The w8 path only exists in
+    the fused TPU decode kernel — off-TPU, or at a batch the fused gate
+    rejects (kernel tiles rows in 8s; b>=8 on the flagship), the decode
+    raises the loud ``NotImplementedError`` guard rather than silently
+    timing float weights."""
     counter = {"n": 0}
     params = cast_params_for_inference(params, getattr(model, "dtype",
                                                        jnp.float32))
@@ -61,7 +72,8 @@ def make_franky_predictor(model, params, tokenizer, *,
                 model, params, idx0, prefix,
                 max_new_tokens=max_new_tokens, beam_width=beam_width,
                 eos_id=eot_id, length_penalty=1.0,
-                n_best=rescorer is not None)
+                n_best=rescorer is not None,
+                int8_weights=int8_weights)
             if rescorer is not None:
                 from frankenstein_tpu.models import llama as llama_mod
                 lm_module, lm_params = rescorer[0], rescorer[1]
@@ -75,7 +87,8 @@ def make_franky_predictor(model, params, tokenizer, *,
         else:
             toks = sampling.generate(model, params, idx0, prefix, rng,
                                      max_new_tokens=max_new_tokens,
-                                     temperature=temperature, top_k=top_k)
+                                     temperature=temperature, top_k=top_k,
+                                     int8_weights=int8_weights)
         trimmed = sampling.trim_at_eot(toks, eot_id)
         return [tokenizer.decode(t, skip_special_tokens=True) for t in trimmed]
 

@@ -52,6 +52,27 @@ def test_predictor_to_submission(tmp_path):
     assert len(sents_b) == 3
 
 
+def test_predictor_w8a16_plumbing():
+    """int8_weights=True threads w8a16 through both predictor branches
+    (greedy generate + beam search). The w8 path only executes inside the
+    fused TPU decode kernel, so off-TPU the plumbing must reach the
+    documented loud guard (models/gpt2.py) — NOT silently fall back to
+    float weights; the numeric contract is TPU-side and lives in the
+    tolerance tests (test_gpt2.py / test_decode.py)."""
+    import pytest
+
+    model, params, cfg = tiny_franky()
+    tok = tokenizers.ByteTokenizer(eot_id=299)
+    xs = np.random.default_rng(5).standard_normal((2, 32, 8)).astype(np.float32)
+
+    for kwargs in ({"top_k": 5}, {"beam_width": 2}):
+        predict = pipeline.make_franky_predictor(
+            model, params, tok, max_new_tokens=6, eot_id=299,
+            int8_weights=True, **kwargs)
+        with pytest.raises(NotImplementedError, match="fused TPU decode"):
+            predict(xs)
+
+
 def test_predictor_with_llama_rescorer():
     """The full reference-README chain (brain -> GPT beams -> LLaMA rescore):
     alpha=0 (pure decoder scores) must reproduce the plain beam output since
