@@ -308,9 +308,12 @@ def beam_from_prefill(module, params, logits, cache, length, *,
     """Deterministic beam search from an already-prefilled decode state —
     the seq2seq entry point (whisper/llama), where prefill is model-specific
     (encoder + cross-KV + prompt) and runs ONCE at batch B before the state
-    is replicated to B*W beams here. The module only needs the
+    is replicated to B*W beams here. The module needs the
     ``decode_step(token, cache, length, qweights) -> (logits, cache, length)``
-    contract with batch at axis 0 of every cache leaf.
+    contract; caches whose batch axis is axis 0 of every leaf (whisper)
+    replicate by default, anything else (llama's layer-leading [L, B, S,
+    E_kv] tuple / QuantCache) must provide ``expand_cache(cache, w)`` —
+    Llama and FrankyLlama do (tested in tests/test_llama.py).
 
     Matches reference:whisper_hugging_face.ipynb cells 25-27 (HF
     ``generate(num_beams=5)``): ranking divides by ``gen_len**length_penalty``
@@ -416,12 +419,19 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                         eos_id: Optional[int] = None,
                         pad_id: Optional[int] = None,
                         length_penalty: float = 0.0,
-                        int8_kv: bool = False, int8_weights: bool = False):
+                        int8_kv: bool = False, int8_weights: bool = False,
+                        n_best: bool = False):
     """Stochastic beam search: each beam samples ``beam_width`` candidates
     from its top-k distribution, the global best W survive — the behavior of
     reference:gpt2_model.py:355-412, vectorized and cached. EOS handling as
     in ``beam_search``: finished beams freeze (emit pad, score unchanged);
     final ranking divides by gen_len**length_penalty.
+
+    Returns (tokens [B, max_new_tokens], scores [B]) of the best beam;
+    with ``n_best=True``, ALL beam_width hypotheses best-first as
+    ([B, W, max_new_tokens], [B, W]) — so the reference's sampled-beam
+    variant can feed the LLaMA rescorer
+    (models/llama.py:rescore_candidates) exactly like ``beam_search``.
     """
     b, t0 = idx0.shape
     w = beam_width
@@ -441,17 +451,19 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                               topk=topk, temperature=temperature,
                               eos_id=eos_id,
                               pad_id=eos_id if pad_id is None else pad_id,
-                              length_penalty=length_penalty)
+                              length_penalty=length_penalty, n_best=n_best)
 
 
 @functools.partial(jax.jit, static_argnames=("module", "b", "max_new_tokens",
                                              "beam_width", "topk", "eos_id",
-                                             "pad_id", "length_penalty"))
+                                             "pad_id", "length_penalty",
+                                             "n_best"))
 def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
                        qweights=None, max_new_tokens: int, beam_width: int,
                        topk: int,
                        temperature: float, eos_id: Optional[int],
-                       pad_id: Optional[int], length_penalty: float):
+                       pad_id: Optional[int], length_penalty: float,
+                       n_best: bool = False):
     w = beam_width
     vocab = logits.shape[-1]
     beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (w - 1)), (b,))
@@ -512,8 +524,14 @@ def _sampled_beam_scan(module, params, logits, cache, length, rng, b, *,
             eff_len = jnp.full_like(gen_len, max_new_tokens)
         scores = scores / (eff_len.reshape(b, w).astype(jnp.float32)
                            ** length_penalty)
-    best = jnp.argmax(scores, axis=-1)
     toks = toks.reshape(b, w, max_new_tokens)
+    if n_best:
+        # all W hypotheses, best-first (the n-best list an external
+        # rescorer consumes — models/llama.py:rescore_candidates)
+        order = jnp.argsort(-scores, axis=-1)              # [B, W]
+        return (jnp.take_along_axis(toks, order[..., None], axis=1),
+                jnp.take_along_axis(scores, order, axis=1))
+    best = jnp.argmax(scores, axis=-1)
     return (jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0],
             jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0])
 

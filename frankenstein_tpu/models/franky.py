@@ -151,3 +151,5 @@ class FrankyLlama(nn.Module):
     @staticmethod
     def reorder_cache(cache, flat_idx, group: int = 0):
         return GPT.reorder_cache(cache, flat_idx, group=group)
+
+    expand_cache = staticmethod(Llama.expand_cache)

@@ -134,29 +134,28 @@ class LlamaBlock(nn.Module):
         q = rope_ops.apply_rope(q, jnp.broadcast_to(rope, (b,) + rope.shape[1:]))
         k = rope_ops.apply_rope(k, jnp.broadcast_to(rope, (b,) + rope.shape[1:]))
 
-        # GQA: repeat kv heads up to n_heads (the cache stores the EXPANDED
-        # heads so decode reads need no repeat)
-        if nkv != nh:
-            rep = nh // nkv
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
-        # heads stay FOLDED in the cache ([B, S, E], same trade as
+        # GQA: the cache stores the kv heads UNEXPANDED ([B, S, E_kv] —
+        # half the cache bytes and half the decode cache stream at 2x
+        # grouping; the fused kernel's slot-grouped attention reads it
+        # directly). Heads stay FOLDED in the cache (same trade as
         # models/gpt2.py:init_cache — the [B, S, H, D] layout gets (8, 128)
         # tiling on its (H, D) minor dims and every kernel-boundary reshape
-        # becomes a physical retiling copy of the whole cache); attention
-        # unfolds per use
+        # becomes a physical retiling copy of the whole cache); this
+        # scanned path expands per use with one jnp.repeat.
         s = k_cache.shape[1]
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.reshape(b, t, nh * hd).astype(k_cache.dtype),
+            k_cache, k.reshape(b, t, nkv * hd).astype(k_cache.dtype),
             (0, length, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.reshape(b, t, nh * hd).astype(v_cache.dtype),
+            v_cache, v.reshape(b, t, nkv * hd).astype(v_cache.dtype),
             (0, length, 0))
-        y = attn_ops.cached_attention(q,
-                                      k_cache.reshape(b, s, nh, hd),
-                                      v_cache.reshape(b, s, nh, hd),
-                                      length + 1)
+        kh = k_cache.reshape(b, s, nkv, hd)
+        vh = v_cache.reshape(b, s, nkv, hd)
+        if nkv != nh:
+            rep = nh // nkv
+            kh = jnp.repeat(kh, rep, axis=2)
+            vh = jnp.repeat(vh, rep, axis=2)
+        y = attn_ops.cached_attention(q, kh, vh, length + 1)
         x = x + dense(c.dim, "o_proj")(y.reshape(b, t, nh * hd))
 
         h = _RMS(c.dim, c.norm_eps, name="post_attn_norm")(x)
@@ -236,12 +235,26 @@ class Llama(nn.Module):
         return jnp.sum(tok_lp * mask[:, 1:], axis=-1)
 
     def prefill(self, idx, prefix, cache):
+        """Run the prefix + initial tokens once, filling the cache.
+
+        TPU shape note: the blocks run against a cache sized to THIS
+        segment's t positions, widened to the decode width S by one pad at
+        the end — NOT against the S-row decode cache. The wide-cache
+        version paid a per-layer pad + layout-retiling copy of both cache
+        operands and priced attention at S key columns instead of t; the
+        t-sized rewrite measured 13.4 -> 9.1 ms on the GPT-2 path
+        (models/gpt2.py:prefill, tools/prefill_probe.py)."""
         x = self._embed_in(idx, prefix)
-        (x, _, _), cache = self.layers((x, jnp.int32(0), jnp.float32(0.0)),
-                                       cache)
+        b, t = x.shape[0], x.shape[1]
+        small = init_llama_cache(self.cfg, b, t, dtype=cache[0].dtype)
+        (x, _, _), small = self.layers((x, jnp.int32(0), jnp.float32(0.0)),
+                                       small)
         x = self.norm_f(x[:, -1:])
+        s = cache[0].shape[2]
+        widen = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, s - t), (0, 0)))
         from frankenstein_tpu.models.gpt2 import x_len
-        return self._head(x)[:, 0], cache, jnp.int32(x_len(idx, prefix))
+        return (self._head(x)[:, 0], (widen(small[0]), widen(small[1])),
+                jnp.int32(x_len(idx, prefix)))
 
     def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         """Model-specific KV cache for decode/sampling.py's generic drivers
@@ -252,16 +265,20 @@ class Llama(nn.Module):
     def decode_step(self, token, cache, length, qweights=None):
         """One decode step. On TPU, supported geometries run all blocks in
         ONE fused Pallas program (ops/pallas/fused_llama_decode.py —
-        RMSNorm + in-kernel rope + GQA attention + SwiGLU; measured 1.47x
-        over the scanned path at the ~110M rescorer shape);
-        ``FK_LLAMA_FUSED=0`` reverts to the scanned XLA path. ``qweights``
-        (an int8 block-weight dict from ``quantize_decode_weights``, w8a16)
-        requires the fused path — the weight stream it halves is ~73% of
-        the LLaMA decode step's HBM bytes at rescorer batch sizes."""
-        if hasattr(cache, "k_scale"):       # gpt2.QuantCache
-            raise NotImplementedError(
-                "Llama has no int8-KV decode path; pass int8_kv=False")
+        RMSNorm + in-kernel rope + slot-grouped GQA attention over the
+        unexpanded kv cache + SwiGLU; measured 1.47x over the scanned path
+        at the ~110M rescorer shape); ``FK_LLAMA_FUSED=0`` reverts to the
+        scanned XLA path. ``cache`` may be a ``gpt2.QuantCache`` (int8 KV,
+        built by ``gpt2.quantize_cache`` after prefill — halves the cache
+        stream AND footprint on top of the unexpanded GQA halving);
+        ``qweights`` (an int8 block-weight dict from
+        ``quantize_decode_weights``, w8a16) requires the fused path — the
+        weight stream it halves is ~73% of the LLaMA decode step's HBM
+        bytes at rescorer batch sizes."""
+        from frankenstein_tpu.models.gpt2 import QuantCache
+        from frankenstein_tpu.ops.pallas import fused_decode
         c = self.cfg
+        quant = isinstance(cache, QuantCache)
         k_cache = cache[0]
         b, s = k_cache.shape[1], k_cache.shape[2]
         # default ON: TPU-priced at 1.47x over the scanned path (0.639 vs
@@ -275,7 +292,8 @@ class Llama(nn.Module):
         if (os.environ.get("FK_LLAMA_FUSED", "1") == "1"
                 and c.moe_experts == 0 and fused_llama_decode.supported(
                     c.n_heads, c.head_dim, c.n_kv_heads, c.hidden_dim, b, s,
-                    itemsize=jnp.dtype(self.dtype).itemsize)):
+                    itemsize=jnp.dtype(self.dtype).itemsize,
+                    cache_itemsize=jnp.dtype(k_cache.dtype).itemsize)):
             x = jnp.take(self.embed, token, axis=0).astype(self.dtype)
             table = rope_ops.build_rope_cache(c.head_dim, s, c.rope_theta)
             cos_e, sin_e = rope_ops.folded_tables(table, c.n_heads)
@@ -286,16 +304,36 @@ class Llama(nn.Module):
                     self.variables["params"]["layers"], self.dtype))
             xo, kc, vc = fused_llama_decode.fused_llama_decode_blocks(
                 x, stacked, k_cache, cache[1], length, cos, sin,
+                cache.k_scale if quant else None,
+                cache.v_scale if quant else None,
                 n_layers=c.n_layers, n_heads=c.n_heads,
                 head_dim=c.head_dim, n_kv_heads=c.n_kv_heads,
                 hidden=c.hidden_dim, eps=c.norm_eps)
             x = self.norm_f(xo[:, None])
-            return self._head(x)[:, 0], (kc, vc), length + 1
+            new_cache = (QuantCache(kc, vc, cache.k_scale, cache.v_scale)
+                         if quant else (kc, vc))
+            return self._head(x)[:, 0], new_cache, length + 1
         if qweights is not None:
             raise NotImplementedError(
                 "w8a16 Llama decode requires the fused TPU path "
                 "(ops/pallas/fused_llama_decode.py); drop qweights off-TPU")
         x = jnp.take(self.embed, token[:, None], axis=0).astype(self.dtype)
+        if quant:
+            # non-fused fallback: dequantize, run, requantize with the
+            # FIXED scales (old rows round-trip exactly —
+            # fused_decode.quantize_with_scales; the gpt2 path's contract)
+            deq = (fused_decode.dequantize_cache_side(cache.k, cache.k_scale,
+                                                      self.dtype),
+                   fused_decode.dequantize_cache_side(cache.v, cache.v_scale,
+                                                      self.dtype))
+            (x, _, _), (kf, vf) = self.layers((x, length, jnp.float32(0.0)),
+                                              deq)
+            x = self.norm_f(x)
+            new_cache = QuantCache(
+                fused_decode.quantize_with_scales(kf, cache.k_scale),
+                fused_decode.quantize_with_scales(vf, cache.v_scale),
+                cache.k_scale, cache.v_scale)
+            return self._head(x)[:, 0], new_cache, length + 1
         (x, _, _), cache = self.layers((x, length, jnp.float32(0.0)), cache)
         x = self.norm_f(x)
         return self._head(x)[:, 0], cache, length + 1
@@ -307,16 +345,35 @@ class Llama(nn.Module):
         from frankenstein_tpu.models.gpt2 import GPT
         return GPT.reorder_cache(cache, flat_idx, group=group)
 
+    @staticmethod
+    def expand_cache(cache, w: int):
+        """Replicate a batch-B prefilled cache to B*W beam rows (each
+        sentence's W beams adjacent) — the ``decode/sampling.py:
+        _beam_expand`` hook for caches whose batch axis is NOT axis 0:
+        llama caches are [L, B, S, E_kv] (batch at axis 1), and QuantCache
+        scales carry no batch axis at all."""
+        from frankenstein_tpu.models.gpt2 import QuantCache
+        rep = lambda c: jnp.repeat(c, w, axis=1)
+        if isinstance(cache, QuantCache):
+            return QuantCache(rep(cache.k), rep(cache.v),
+                              cache.k_scale, cache.v_scale)
+        return tuple(rep(c) for c in cache)
+
 
 def init_llama_cache(cfg: LlamaConfig, batch: int, max_len: int,
                      dtype=jnp.float32):
-    """Fixed-shape stacked KV cache: ([L, B, S, E], [L, B, S, E]) with the
-    GQA kv heads pre-expanded to n_heads and heads FOLDED into E — the same
-    layout rationale as models/gpt2.py:init_cache (clean (8, 128) tiling,
-    no whole-cache retiling copies at kernel boundaries), and the layout
-    the streaming Pallas beam reorder (ops/pallas/beam_reorder.py) and the
-    fused decode kernels expect."""
-    shape = (cfg.n_layers, batch, max_len, cfg.n_heads * cfg.head_dim)
+    """Fixed-shape stacked KV cache: ([L, B, S, E_kv], [L, B, S, E_kv])
+    with the GQA kv heads UNEXPANDED (E_kv = n_kv_heads * head_dim) and
+    heads FOLDED into the lane dim — the same folding rationale as
+    models/gpt2.py:init_cache (clean (8, 128) tiling, no whole-cache
+    retiling copies at kernel boundaries). Storing kv heads unexpanded
+    (vs the r4 pre-expanded layout) halves the cache bytes and the
+    per-step cache stream at 16q/8kv — the stream that broke decode
+    scaling (0.639 -> 0.852 ms/token from b=32 -> b=128, BASELINE.md
+    round 4); the fused kernel's slot-grouped attention and the scanned
+    path's per-use jnp.repeat both read it directly."""
+    shape = (cfg.n_layers, batch, max_len,
+             cfg.n_kv_heads * cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 

@@ -11,19 +11,35 @@ that is pure bandwidth). Differences from the GPT kernel:
   caller passes the folded [1, E] cos/sin table rows for position
   ``length`` and the kernel rotates with the pltpu.roll pair-swap idiom
   proven in ops/pallas/block_attention.py:_rot_rows (interleaved-pair
-  convention, matching ops/rope.py);
-- GQA: the cache stores kv heads PRE-EXPANDED to n_heads (the
-  models/llama.py:init_llama_cache convention), so the kernel expands the
-  freshly projected [BC, E_kv] k/v rows to [BC, E] with one dot against a
-  constant replication matrix before rotation/storage;
+  convention, matching ops/rope.py); the k row rotates at kv width with
+  the first E_kv lanes of the same tables (folded tables tile per head,
+  so the slice IS the kv-width table);
+- GQA: the cache stores the kv heads UNEXPANDED ([L, B, S, E_kv], the
+  models/llama.py:init_llama_cache convention since round 5 — at 16q/8kv
+  that is HALF the cache bytes and half the per-step cache stream of the
+  r4 pre-expanded layout, and the stream is what breaks decode scaling:
+  0.639 -> 0.852 ms/token from b=32 -> b=128 on the expanded cache,
+  BASELINE.md round 4). Attention expands per use WITHOUT materializing
+  an [BC, S, E] copy: q heads are processed in ``rfac = H/KV`` slot
+  groups — slot r gathers q lanes of heads ``h ≡ r (mod rfac)`` down to
+  kv width with a 0/1 selection matrix (a [BC, E] x [E, E_kv] dot — BC
+  rows, negligible), runs the score/softmax/AV chain entirely at kv
+  width against the unexpanded cache, and scatters its [BC, E_kv]
+  output back to the q lanes with the transposed selection. Per-slot
+  softmaxes are independent (different q heads), so the math is exactly
+  the expanded computation re-associated; total elementwise/dot FLOPs
+  match the old expanded kernel while the cache stream halves;
 - SwiGLU MLP (three matmuls, silu gate) instead of GELU;
 - w8a16 serving mode (``quantize_weights``: int8 matrices, per-(layer,
   out-lane) scales dequantized exactly after each dot) mirrors the GPT
   kernel's; it matters MORE here — at the ~110M rescorer shape, b=32, the
   7 weight matrices are ~73% of the step's HBM bytes (vs ~34% for GPT-2
-  at b=128), so halving the weight stream attacks the dominant term.
-  int8 KV remains GPT-only (the LLaMA caches are small at rescorer
-  batch sizes).
+  at b=128), so halving the weight stream attacks the dominant term;
+- int8 KV cache (round 5): same contract as fused_decode.py — int8 codes
+  with per-(layer, lane) scales [L, 1, E_kv]; the k scale folds into the
+  slot-gathered q before the score dot, the v scale applies to the
+  summed AV output, and the new rows REQUANTIZE in-kernel with the fixed
+  scales before the aliased 8-row store.
 
 The reference has no LLaMA at all (its README names the stage as intent,
 reference:README.md:19) and no cached decode for any model
@@ -64,26 +80,44 @@ def _rot_row(x, cos, sin):
             + xs * (sign * sin.astype(jnp.float32))).astype(x.dtype)
 
 
-def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
-                head_dim: int, seq: int, eps: float, compute_dtype,
-                cache_dtype, quant_w: bool = False):
+def _slot_select(e: int, e_kv: int, head_dim: int, rfac: int, r: int):
+    """[E, E_kv] 0/1 selection for GQA slot ``r``: q lane i of head
+    h = g*rfac + r maps to kv lane g*head_dim + i%head_dim (the HF
+    repeat-interleave convention, kv(h) = h // rfac — the same mapping
+    ``replication_matrix`` encodes); rows of other slots are zero. Built
+    from iotas so it is a computed constant, not an HBM operand."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (e, e_kv), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (e, e_kv), 1)
+    h = i // head_dim
+    hit = ((h % rfac) == r) & (j == (h // rfac) * head_dim + (i % head_dim))
+    return hit.astype(jnp.float32)
+
+
+def _layer_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
+                head_dim: int, n_kv_heads: int, seq: int, eps: float,
+                compute_dtype, cache_dtype, quant_cache: bool = False,
+                quant_w: bool = False):
     """One layer's math for one batch chunk — shared VERBATIM by the
     Mosaic-pipelined grid kernel (``_kernel``) and the manually-double-
     buffered one (``_kernel_pipelined``) so their outputs are bit-identical
     (the fused_decode.py:_chunk_math pattern).
 
-    x: [BC, E] f32 residual; length: scalar int32; kc/vc: [BC, S, E]
-    cache-dtype arrays (stale — the new row folds in as an extra logit);
-    w: dict of this layer's arrays — norm1/norm2 [1, E] (or [E]), matmul
-    kernels [in, out] in the compute dtype (int8 codes when ``quant_w``,
-    converted in-register, plus per-out-lane scales "sq".."sd" [1, out]
-    applied EXACTLY after each f32 dot output — symmetric per-channel
-    quantization, the fused_decode.py w8a16 contract); cos/sin [1, E] f32
-    folded rope rows; rep [E_kv, E] replication matrix. Returns
-    (x' [BC, E] f32, row_k, row_v [BC, E] in ``cache_dtype``)."""
+    x: [BC, E] f32 residual; length: scalar int32; kc/vc: [BC, S, E_kv]
+    cache-dtype arrays, kv heads UNEXPANDED (stale — the new row folds in
+    as an extra logit); w: dict of this layer's arrays — norm1/norm2
+    [1, E] (or [E]), matmul kernels [in, out] in the compute dtype (int8
+    codes when ``quant_w``, converted in-register, plus per-out-lane
+    scales "sq".."sd" [1, out] applied EXACTLY after each f32 dot output —
+    symmetric per-channel quantization, the fused_decode.py w8a16
+    contract), plus ks/vs [1, E_kv] cache-dequant scales when
+    ``quant_cache``; cos/sin [1, E] f32 folded rope rows. Returns
+    (x' [BC, E] f32, row_k, row_v [BC, E_kv] in ``cache_dtype``)."""
     scale = 1.0 / np.sqrt(head_dim)
     cdt = compute_dtype
     e = n_heads * head_dim
+    e_kv = n_kv_heads * head_dim
+    rfac = n_heads // n_kv_heads
+    nkv = n_kv_heads
 
     # ---- attention sublayer --------------------------------------------
     h = _rms_f32(x, w["norm1"], eps)
@@ -98,52 +132,76 @@ def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
         k_pre = k_pre * w["sk"]
         v_pre = v_pre * w["sv"]
     q = _rot_row(q_pre, cos, sin)                       # [BC, E] f32
-    # GQA expansion: [BC, E_kv] @ replication [E_kv, E] -> [BC, E]
-    # (rotation commutes with head replication, so rotate AFTER expanding
-    # with the same folded q-width tables)
-    k_new = _rot_row(dot(k_pre, rep), cos, sin)
-    v_new = dot(v_pre, rep)
-    row_k = k_new.astype(cache_dtype)
-    row_v = v_new.astype(cache_dtype)
+    # the new k/v rows stay at kv width; folded tables tile per head, so
+    # the first E_kv lanes of the [1, E] tables ARE the kv-width tables
+    k_new = _rot_row(k_pre, cos[:, :e_kv], sin[:, :e_kv])   # [BC, E_kv]
+    v_new = v_pre                                           # [BC, E_kv]
+    if quant_cache:
+        q8 = lambda rows, sc: jnp.clip(jnp.round(rows / sc), -127, 127
+                                       ).astype(jnp.int8)
+        row_k, row_v = q8(k_new, w["ks"]), q8(v_new, w["vs"])
+    else:
+        row_k = k_new.astype(cache_dtype)
+        row_v = v_new.astype(cache_dtype)
 
-    # all-head attention on the folded layout (per-head reductions ride tiny
-    # MXU dots against 0/1 segment matrices — see fused_decode.py)
-    bc_, _, e_ = kc.shape
-    lane_head = (jax.lax.broadcasted_iota(jnp.int32, (e, n_heads), 0)
-                 // head_dim)
-    seg_sum = (lane_head ==
-               jax.lax.broadcasted_iota(jnp.int32, (e, n_heads), 1)
-               ).astype(jnp.float32)                    # [E, H]
-    expand = seg_sum.T                                  # [H, E]
-
-    prod = q.astype(cdt)[:, None, :] * kc.astype(cdt)   # [BC, S, E]
-    s = jax.lax.dot_general(prod.reshape(bc_ * seq, e_),
-                            seg_sum.astype(cdt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s.reshape(bc_, seq, n_heads) * scale            # [BC, S, H]
+    bc_, _, ekv_ = kc.shape
+    lane_kv = (jax.lax.broadcasted_iota(jnp.int32, (e_kv, nkv), 0)
+               // head_dim)
+    seg_kv = (lane_kv ==
+              jax.lax.broadcasted_iota(jnp.int32, (e_kv, nkv), 1)
+              ).astype(jnp.float32)                     # [E_kv, KV]
+    expand_kv = seg_kv.T                                # [KV, E_kv]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (1, seq, 1), 1)
              < length)
-    s = jnp.where(valid, s, NEG_INF)
-    s_own = jax.lax.dot_general(q * k_new.astype(jnp.float32), seg_sum,
+
+    # per-slot attention at kv width (slot r = q heads h ≡ r mod rfac);
+    # softmaxes are per-head so slots are independent — the unrolled loop
+    # is the expanded computation re-associated, not an approximation
+    o = jnp.zeros((bc_, e), jnp.float32)
+    for r in range(rfac):
+        if rfac == 1:
+            q_r = q
+        else:
+            sel = _slot_select(e, e_kv, head_dim, rfac, r)
+            q_r = jax.lax.dot_general(q, sel, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        q_cache = q_r * w["ks"] if quant_cache else q_r
+        prod = q_cache.astype(cdt)[:, None, :] * kc.astype(cdt)
+        s = jax.lax.dot_general(prod.reshape(bc_ * seq, ekv_),
+                                seg_kv.astype(cdt),
                                 (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-    m = jnp.maximum(jnp.max(s, axis=1), s_own)          # [BC, H]
-    p = jnp.exp(s - m[:, None, :])
-    p_own = jnp.exp(s_own - m)
-    denom = jnp.sum(p, axis=1) + p_own                  # [BC, H]
-    p = p / denom[:, None, :]
-    p_wide = jax.lax.dot_general(p.reshape(bc_ * seq, n_heads).astype(cdt),
-                                 expand.astype(cdt),
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(cdt)
-    o = jnp.sum((p_wide.reshape(bc_, seq, e_)
-                 * vc.astype(cdt)).astype(jnp.float32), axis=1)  # [BC, E]
-    own_wide = jax.lax.dot_general(p_own / denom, expand,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-    o = o + own_wide * v_new.astype(jnp.float32)
+                                preferred_element_type=jnp.float32)
+        s = s.reshape(bc_, seq, nkv) * scale            # [BC, S, KV]
+        s = jnp.where(valid, s, NEG_INF)
+        s_own = jax.lax.dot_general(q_r * k_new, seg_kv,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale           # [BC, KV]
+        m = jnp.maximum(jnp.max(s, axis=1), s_own)
+        p = jnp.exp(s - m[:, None, :])
+        p_own = jnp.exp(s_own - m)
+        denom = jnp.sum(p, axis=1) + p_own              # [BC, KV]
+        p = p / denom[:, None, :]
+        p_wide = jax.lax.dot_general(
+            p.reshape(bc_ * seq, nkv).astype(cdt), expand_kv.astype(cdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+        o_kv = jnp.sum((p_wide.reshape(bc_, seq, ekv_)
+                        * vc.astype(cdt)).astype(jnp.float32),
+                       axis=1)                          # [BC, E_kv] f32
+        if quant_cache:
+            o_kv = o_kv * w["vs"]
+        own_wide = jax.lax.dot_general(p_own / denom, expand_kv,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        o_kv = o_kv + own_wide * v_new
+        if rfac == 1:
+            o = o + o_kv
+        else:
+            # scatter kv lanes back to slot r's q lanes (contract with the
+            # selection's kv axis — the transposed 0/1 map)
+            o = o + jax.lax.dot_general(o_kv, sel, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
     y = dot(o, w["wo"])
     if quant_w:
         y = y * w["so"]
@@ -169,15 +227,22 @@ def _layer_math(x, length, w, kc, vc, cos, sin, rep, *, n_heads: int,
 _SCALE_KEYS = ("sq", "sk", "sv", "so", "sg", "su", "sd")
 
 
-def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
+def _kernel(len_ref, x_ref, cos_ref, sin_ref, norm1, wq, wk, wv, wo,
             norm2, wg, wu, wd, kc_ref, vc_ref, *rest,
-            n_layers: int, n_heads: int, head_dim: int, seq: int, bc: int,
-            eps: float, compute_dtype, quant_w: bool):
-    # per-out-lane dequant scale inputs appear ONLY in the w8a16 mode — the
-    # float path keeps its original op and DMA count (the fused_decode.py
-    # convention: Mosaic cannot constant-fold runtime ones-arrays)
-    i = 7 if quant_w else 0
-    scales = rest[:i]
+            n_layers: int, n_heads: int, head_dim: int, n_kv_heads: int,
+            seq: int, bc: int, eps: float, compute_dtype,
+            quant_cache: bool, quant_w: bool):
+    # optional dequant-scale inputs appear ONLY in their quantized modes —
+    # the float path keeps its original op and DMA count (the
+    # fused_decode.py convention: Mosaic cannot constant-fold runtime
+    # ones-arrays)
+    i = 0
+    if quant_cache:
+        ks_ref, vs_ref = rest[i], rest[i + 1]
+        i += 2
+    if quant_w:
+        scales = rest[i:i + 7]
+        i += 7
     xout_ref, knew_ref, vnew_ref, x_scr = rest[i:i + 4]
     l = pl.program_id(0)
     bi = pl.program_id(1)
@@ -191,14 +256,16 @@ def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
     w = {"norm1": norm1[0, 0], "wq": wq[0], "wk": wk[0], "wv": wv[0],
          "wo": wo[0], "norm2": norm2[0, 0], "wg": wg[0], "wu": wu[0],
          "wd": wd[0]}
+    if quant_cache:
+        w["ks"], w["vs"] = ks_ref[0], vs_ref[0]
     if quant_w:
         for key, ref in zip(_SCALE_KEYS, scales):
             w[key] = ref[0]
     x, row_k, row_v = _layer_math(
         x, len_ref[0], w, kc_ref[0], vc_ref[0], cos_ref[...], sin_ref[...],
-        rep_ref[...], n_heads=n_heads, head_dim=head_dim, seq=seq, eps=eps,
-        compute_dtype=compute_dtype, cache_dtype=knew_ref.dtype,
-        quant_w=quant_w)
+        n_heads=n_heads, head_dim=head_dim, n_kv_heads=n_kv_heads, seq=seq,
+        eps=eps, compute_dtype=compute_dtype, cache_dtype=knew_ref.dtype,
+        quant_cache=quant_cache, quant_w=quant_w)
 
     # new rows blend into the 8-row cache tile around ``length`` and write
     # STRAIGHT INTO the aliased cache outputs (scalar-prefetch output index
@@ -219,36 +286,43 @@ def _kernel(len_ref, x_ref, cos_ref, sin_ref, rep_ref, norm1, wq, wk, wv, wo,
 
 
 def _vmem_estimate(bc: int, s: int, e: int, e_kv: int, f: int, b: int,
-                   itemsize: int) -> int:
+                   itemsize: int, cache_itemsize: int) -> int:
     """``itemsize`` is the compute dtype's width (2 for bf16, 4 for the
     default f32 Llama) — sizing a f32 model at 2 bytes would understate
     true VMEM 2x and admit geometries that then fail Mosaic compilation
-    instead of falling back (the fused_decode.py lesson)."""
+    instead of falling back (the fused_decode.py lesson).
+    ``cache_itemsize`` sizes only the streamed cache blocks (int8 KV
+    halves those)."""
     compute = max(itemsize, 2)
     weights = (2 * e * e + 2 * e * e_kv + 2 * e * f + f * e
-               + 2 * e + e_kv * e) * compute
-    caches = 2 * bc * s * e * compute
-    # live [BC, S, E] temporaries (QK product, expanded probs, AV product)
-    # + one f32 AV accumulate + activations incl. the [BC, F] MLP pair
+               + 2 * e) * compute
+    caches = 2 * bc * s * e_kv * cache_itemsize
+    # live compute temporaries: per-slot [BC, S, E_kv] products/probs sum
+    # to E lanes across the unrolled slot loop (Mosaic's stack allocator
+    # does not aggressively reuse slots) + one f32 AV accumulate + the
+    # [BC, F] MLP pair + activations
     stack = bc * s * e * (3 * compute + 4) + 4 * bc * f * 4 + 12 * bc * e * 4
     return 2 * (weights + caches) + stack + b * e * 4   # + f32 x scratch
 
 
 def _pick_batch_chunk(b: int, s: int, e: int, e_kv: int, f: int,
-                      itemsize: int = 2) -> int:
+                      itemsize: int = 2, cache_itemsize: int = None) -> int:
+    if cache_itemsize is None:
+        cache_itemsize = itemsize
     for bc in (128, 64, 32, 16, 8):
         if b % bc != 0:
             continue
-        if _vmem_estimate(bc, s, e, e_kv, f, b, itemsize) < (
-                VMEM_LIMIT * _HEADROOM):
+        if _vmem_estimate(bc, s, e, e_kv, f, b, itemsize,
+                          cache_itemsize) < (VMEM_LIMIT * _HEADROOM):
             return bc
     return 0
 
 
 def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
-              b: int, s: int, itemsize: int = 2,
+              b: int, s: int, itemsize: int = 2, cache_itemsize: int = None,
               interpret: bool = False) -> bool:
-    """Static gate; callers fall back to the scanned XLA path."""
+    """Static gate; callers fall back to the scanned XLA path.
+    ``cache_itemsize`` defaults to ``itemsize`` (pass 1 for int8 KV)."""
     if not interpret and jax.default_backend() != "tpu":
         return False
     e, e_kv = n_heads * head_dim, n_kv_heads * head_dim
@@ -256,9 +330,10 @@ def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
         return False
     if e % 128 != 0 or e_kv % 128 != 0 or hidden % 128 != 0:
         return False
-    if head_dim % 2 != 0:
+    if head_dim % 2 != 0 or n_heads % n_kv_heads != 0:
         return False
-    return _pick_batch_chunk(b, s, e, e_kv, hidden, itemsize) > 0
+    return _pick_batch_chunk(b, s, e, e_kv, hidden, itemsize,
+                             cache_itemsize) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -279,16 +354,22 @@ def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
 _CSLOTS = 3     # cache-chunk buffering depth (lookahead _CSLOTS - 1)
 
 
-def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
+def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref,
                       norm1, norm2, wq_h, wk_h, wv_h, wo_h, wg_h, wu_h, wd_h,
                       kc_h, vc_h, *rest,
-                      n_layers: int, n_heads: int, head_dim: int, seq: int,
-                      bc: int, nc: int, eps: float, compute_dtype,
+                      n_layers: int, n_heads: int, head_dim: int,
+                      n_kv_heads: int, seq: int, bc: int, nc: int,
+                      eps: float, compute_dtype, quant_cache: bool,
                       quant_w: bool):
     from jax.experimental.pallas import tpu as pltpu
 
-    i = 7 if quant_w else 0
-    scale_refs = rest[:i]                               # [L, 1, out] f32 VMEM
+    i = 0
+    if quant_cache:
+        ks_ref, vs_ref = rest[i], rest[i + 1]           # [L, 1, E_kv] f32
+        i += 2
+    if quant_w:
+        scale_refs = rest[i:i + 7]                      # [L, 1, out] f32
+        i += 7
     (xout_ref, kco_h, vco_h,
      wq_s, wk_s, wv_s, wo_s, wg_s, wu_s, wd_s,
      kc_s, vc_s, kt_s, vt_s, x_scr, wsem, csem, tsem) = rest[i:i + 18]
@@ -300,7 +381,6 @@ def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
            == (length - base))
     cos = cos_ref[...]
     sin = sin_ref[...]
-    rep = rep_ref[...]
 
     wmats = ((wq_h, wq_s), (wk_h, wk_s), (wv_h, wv_s), (wo_h, wo_s),
              (wg_h, wg_s), (wu_h, wu_s), (wd_h, wd_s))
@@ -386,13 +466,16 @@ def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
         w = {"norm1": norm1[l], "wq": wq_s[lslot], "wk": wk_s[lslot],
              "wv": wv_s[lslot], "wo": wo_s[lslot], "norm2": norm2[l],
              "wg": wg_s[lslot], "wu": wu_s[lslot], "wd": wd_s[lslot]}
+        if quant_cache:
+            w["ks"], w["vs"] = ks_ref[l], vs_ref[l]
         if quant_w:
             for key, ref in zip(_SCALE_KEYS, scale_refs):
                 w[key] = ref[l]
         x, row_k, row_v = _layer_math(
-            x, length, w, kc_s[slot], vc_s[slot], cos, sin, rep,
-            n_heads=n_heads, head_dim=head_dim, seq=seq, eps=eps,
-            compute_dtype=compute_dtype, cache_dtype=kt_s.dtype,
+            x, length, w, kc_s[slot], vc_s[slot], cos, sin,
+            n_heads=n_heads, head_dim=head_dim, n_kv_heads=n_kv_heads,
+            seq=seq, eps=eps, compute_dtype=compute_dtype,
+            cache_dtype=kt_s.dtype, quant_cache=quant_cache,
             quant_w=quant_w)
 
         kt_s[tslot] = jnp.where(sel, row_k[:, None, :],
@@ -417,38 +500,44 @@ def _kernel_pipelined(len_ref, x_ref, cos_ref, sin_ref, rep_ref,
 
 
 def _vmem_estimate_pipelined(bc: int, s: int, e: int, e_kv: int, f: int,
-                             b: int, itemsize: int, w_itemsize: int) -> int:
+                             b: int, itemsize: int, w_itemsize: int,
+                             cache_itemsize: int) -> int:
     """``w_itemsize`` sizes the double-buffered weight slots (int8 halves
-    them in the w8a16 mode); the compute temporaries and cache chunks stay
-    at the compute width."""
+    them in the w8a16 mode), ``cache_itemsize`` the cache chunk slots (int8
+    KV); the compute temporaries stay at the compute width."""
     compute = max(itemsize, 2)
     weights = 2 * (2 * e * e + 2 * e * e_kv + 3 * e * f) * w_itemsize
-    caches = _CSLOTS * 2 * bc * s * e * compute         # slots x (k, v)
-    tiles = 2 * 2 * bc * 8 * e * compute
-    consts = 2 * e * 4 + e_kv * e * compute + 4 * e * 4     # rope, rep, norms
+    caches = _CSLOTS * 2 * bc * s * e_kv * cache_itemsize   # slots x (k, v)
+    tiles = 2 * 2 * bc * 8 * e_kv * cache_itemsize
+    consts = 2 * e * 4 + 4 * e * 4                      # rope rows, norms
     stack = bc * s * e * (3 * compute + 4) + 4 * bc * f * 4 + 12 * bc * e * 4
     return weights + caches + tiles + consts + stack + 2 * b * e * 4
 
 
 def _pick_batch_chunk_pipelined(b: int, s: int, e: int, e_kv: int, f: int,
-                                itemsize: int, w_itemsize: int = None) -> int:
+                                itemsize: int, w_itemsize: int = None,
+                                cache_itemsize: int = None) -> int:
     if w_itemsize is None:
         w_itemsize = max(itemsize, 2)
+    if cache_itemsize is None:
+        cache_itemsize = max(itemsize, 2)
     for bc in (128, 64, 32, 16, 8):
         if b % bc != 0:
             continue
         if _vmem_estimate_pipelined(bc, s, e, e_kv, f, b, itemsize,
-                                    w_itemsize) < (VMEM_LIMIT * _HEADROOM):
+                                    w_itemsize, cache_itemsize) < (
+                VMEM_LIMIT * _HEADROOM):
             return bc
     return 0
 
 
 def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
-                                  cos_row, sin_row, *, n_layers: int,
-                                  n_heads: int, head_dim: int,
-                                  n_kv_heads: int, hidden: int, eps: float,
-                                  bc: int, compute_dtype, quant_w: bool,
-                                  interpret: bool):
+                                  cos_row, sin_row, k_scale, v_scale, *,
+                                  n_layers: int, n_heads: int,
+                                  head_dim: int, n_kv_heads: int,
+                                  hidden: int, eps: float, bc: int,
+                                  compute_dtype, quant_cache: bool,
+                                  quant_w: bool, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     b, e = x.shape
@@ -463,24 +552,27 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     v3 = lambda a: a[:, None, :]
-    rep = replication_matrix(n_heads, n_kv_heads, head_dim, cdt)
 
     operands = [jnp.reshape(length, (1,)).astype(jnp.int32), x,
                 cos_row.astype(jnp.float32), sin_row.astype(jnp.float32),
-                rep, v3(p["norm1_w"]), v3(p["norm2_w"]),
+                v3(p["norm1_w"]), v3(p["norm2_w"]),
                 p["wq"], p["wk"], p["wv"], p["wo"],
                 p["wg"], p["wu"], p["wd"], k_cache, v_cache]
-    in_specs = ([smem, vmem, vmem, vmem, vmem, vmem, vmem]
+    in_specs = ([smem, vmem, vmem, vmem, vmem, vmem]
                 + [any_spec] * 7 + [any_spec] * 2)
+    if quant_cache:
+        operands += [k_scale, v_scale]                   # [L, 1, E_kv] f32
+        in_specs += [vmem, vmem]
     if quant_w:
         operands += [p[k + "_s"] for k in WEIGHT_KEYS]   # [L, 1, out] f32
         in_specs += [vmem] * 7
 
     xo, kc_out, vc_out = pl.pallas_call(
         functools.partial(_kernel_pipelined, n_layers=n_layers,
-                          n_heads=n_heads, head_dim=head_dim, seq=s, bc=bc,
+                          n_heads=n_heads, head_dim=head_dim,
+                          n_kv_heads=n_kv_heads, seq=s, bc=bc,
                           nc=nc, eps=eps, compute_dtype=cdt,
-                          quant_w=quant_w),
+                          quant_cache=quant_cache, quant_w=quant_w),
         in_specs=in_specs,
         out_specs=[vmem, any_spec, any_spec],
         out_shape=[
@@ -496,16 +588,16 @@ def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
             pltpu.VMEM((2, e, hidden), wdt),        # wg
             pltpu.VMEM((2, e, hidden), wdt),        # wu
             pltpu.VMEM((2, hidden, e), wdt),        # wd
-            pltpu.VMEM((_CSLOTS, bc, s, e), cache_dt),
-            pltpu.VMEM((_CSLOTS, bc, s, e), cache_dt),
-            pltpu.VMEM((2, bc, 8, e), cache_dt),
-            pltpu.VMEM((2, bc, 8, e), cache_dt),
+            pltpu.VMEM((_CSLOTS, bc, s, e_kv), cache_dt),
+            pltpu.VMEM((_CSLOTS, bc, s, e_kv), cache_dt),
+            pltpu.VMEM((2, bc, 8, e_kv), cache_dt),
+            pltpu.VMEM((2, bc, 8, e_kv), cache_dt),
             pltpu.VMEM((b, e), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 7)),
             pltpu.SemaphoreType.DMA((_CSLOTS, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-        input_output_aliases={14: 1, 15: 2},
+        input_output_aliases={13: 1, 14: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT,
         ),
@@ -540,7 +632,9 @@ def quantize_weights(stacked):
 def replication_matrix(n_heads: int, n_kv_heads: int, head_dim: int,
                        dtype=jnp.bfloat16):
     """[E_kv, E] 0/1 matrix expanding folded kv lanes to folded q lanes
-    (head h of n_heads reads kv head h // (n_heads // n_kv_heads))."""
+    (head h of n_heads reads kv head h // (n_heads // n_kv_heads)).
+    Kept for callers that materialize an expanded view (tests, probes);
+    the decode kernel itself no longer streams it."""
     e, e_kv = n_heads * head_dim, n_kv_heads * head_dim
     rep = n_heads // n_kv_heads
     ql = np.arange(e)
@@ -554,18 +648,25 @@ def replication_matrix(n_heads: int, n_kv_heads: int, head_dim: int,
     "n_layers", "n_heads", "head_dim", "n_kv_heads", "hidden", "eps",
     "interpret"))
 def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
-                              cos_row, sin_row, *,
-                              n_layers: int, n_heads: int, head_dim: int,
+                              cos_row, sin_row, k_scale=None, v_scale=None,
+                              *, n_layers: int, n_heads: int, head_dim: int,
                               n_kv_heads: int, hidden: int, eps: float,
                               interpret: bool = False):
     """Run all LLaMA blocks for ONE token position.
 
     x: [B, E] embedded token; stacked: dict of [L, ...] params (keys
     norm1_w wq wk wv wo norm2_w wg wu wd, kernels in [in, out] layout,
-    matmuls pre-cast to the compute dtype); k_cache/v_cache: [L, B, S, E]
-    folded, GQA-expanded (models/llama.py:init_llama_cache); length: []
-    int32 valid-row count; cos_row/sin_row: [1, E] folded rope tables for
-    position ``length`` (ops/rope.py:folded_tables rows).
+    matmuls pre-cast to the compute dtype); k_cache/v_cache: [L, B, S,
+    E_kv] folded, GQA kv heads UNEXPANDED (models/llama.py:
+    init_llama_cache); length: [] int32 valid-row count; cos_row/sin_row:
+    [1, E] folded rope tables for position ``length``
+    (ops/rope.py:folded_tables rows — the kernel slices the kv-width
+    tables out of them).
+
+    int8 KV cache: pass int8 caches plus per-(layer, lane) dequant scales
+    k_scale/v_scale [L, 1, E_kv] f32 (gpt2.quantize_cache); rows
+    dequantize in-register and the new rows REQUANTIZE in-kernel with the
+    same fixed scales — the fused_decode.py contract.
 
     Returns (x_out [B, E], k_cache', v_cache') with the caches updated IN
     PLACE (outputs alias inputs; the kernel writes the new rows itself —
@@ -577,28 +678,43 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     s = k_cache.shape[2]
     e_kv = n_kv_heads * head_dim
     w8 = stacked["wq"].dtype == jnp.int8          # w8a16 serving mode
-    # compute dtype: the cache's float dtype when weights are int8 codes
-    # (the returned rows scatter straight into it); else the weight dtype
-    cdt = k_cache.dtype if w8 else stacked["wq"].dtype
+    quant_cache = k_cache.dtype == jnp.int8       # int8 KV mode
+    if quant_cache:
+        assert k_scale is not None and v_scale is not None
+        cache_scales = (k_scale, v_scale)
+    else:
+        cache_scales = ()
+    # compute dtype: the weight dtype for float weights; for int8 weights
+    # the cache's float dtype (the returned rows scatter straight into it),
+    # bf16 when the cache is int8 too
+    if w8:
+        cdt = jnp.bfloat16 if quant_cache else k_cache.dtype
+    else:
+        cdt = stacked["wq"].dtype
     # FK_LLAMA_PIPE=1 selects the manually-double-buffered kernel — weights/
     # caches as HBM refs, 3-slot chunk buffering, layer-ahead weight
     # prefetch — bit-identical to the grid kernel (shared _layer_math; see
     # fused_decode.py for the GPT measurement history of the same
-    # structure). Default OFF until TPU-priced (the fused-llama-gate
-    # convention: flip only after a real-chip measurement). Read at TRACE
-    # time — the first decode dispatch bakes the value into the jit cache.
+    # structure). Default OFF: TPU-priced a WASH at the rescorer shape
+    # (grid 17.57 / pipe 17.88 ms float, 14.72 / 14.47 w8a16, b=32 —
+    # BASELINE.md round 4). Read at TRACE time — the first decode dispatch
+    # bakes the value into the jit cache.
     import os
     if os.environ.get("FK_LLAMA_PIPE", "0") == "1":
         bcp = _pick_batch_chunk_pipelined(
             b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize,
-            jnp.dtype(stacked["wq"].dtype).itemsize)
+            jnp.dtype(stacked["wq"].dtype).itemsize,
+            jnp.dtype(k_cache.dtype).itemsize)
         if bcp > 0 and n_layers * (b // bcp) >= 2:
             return _fused_llama_decode_pipelined(
                 x, stacked, k_cache, v_cache, length, cos_row, sin_row,
+                k_scale, v_scale,
                 n_layers=n_layers, n_heads=n_heads, head_dim=head_dim,
                 n_kv_heads=n_kv_heads, hidden=hidden, eps=eps, bc=bcp,
-                compute_dtype=cdt, quant_w=w8, interpret=interpret)
-    bc = _pick_batch_chunk(b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize)
+                compute_dtype=cdt, quant_cache=quant_cache, quant_w=w8,
+                interpret=interpret)
+    bc = _pick_batch_chunk(b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize,
+                           jnp.dtype(k_cache.dtype).itemsize)
     assert bc > 0, "caller must gate on supported()"
     grid = (n_layers, b // bc)
 
@@ -610,23 +726,24 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     in_specs = [
         pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x
         const(1, e), const(1, e),                                     # rope
-        const(e_kv, e),                                               # rep
         vec(e),                                                       # norm1
         mat(e, e), mat(e, e_kv), mat(e, e_kv), mat(e, e),             # qkvo
         vec(e),                                                       # norm2
         mat(e, hidden), mat(e, hidden), mat(hidden, e),               # mlp
-        pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
-        pl.BlockSpec((1, bc, s, e), lambda l, bi, len_r: (l, bi, 0, 0)),
+        pl.BlockSpec((1, bc, s, e_kv), lambda l, bi, len_r: (l, bi, 0, 0)),
+        pl.BlockSpec((1, bc, s, e_kv), lambda l, bi, len_r: (l, bi, 0, 0)),
     ]
+    if quant_cache:
+        in_specs += [vec(e_kv), vec(e_kv)]                            # ks, vs
     if w8:
         # per-out-lane dequant scales, one [1, out] row per layer
         in_specs += [vec(e), vec(e_kv), vec(e_kv), vec(e),
                      vec(hidden), vec(hidden), vec(e)]
     out_specs = [
         pl.BlockSpec((bc, e), lambda l, bi, len_r: (bi, 0)),          # x_out
-        pl.BlockSpec((1, bc, 8, e),
+        pl.BlockSpec((1, bc, 8, e_kv),
                      lambda l, bi, len_r: (l, bi, len_r[0] // 8, 0)),
-        pl.BlockSpec((1, bc, 8, e),
+        pl.BlockSpec((1, bc, 8, e_kv),
                      lambda l, bi, len_r: (l, bi, len_r[0] // 8, 0)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -638,20 +755,20 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
     )
     p = stacked
     v3 = lambda a: a[:, None, :]
-    rep = replication_matrix(n_heads, n_kv_heads, head_dim, cdt)
-    # cache outputs ALIAS the cache inputs (operands 14/15, counting the
+    # cache outputs ALIAS the cache inputs (operands 13/14, counting the
     # scalar prefetch at 0): the kernel writes the new rows in place
     xo, kc_out, vc_out = pl.pallas_call(
         functools.partial(_kernel, n_layers=n_layers, n_heads=n_heads,
-                          head_dim=head_dim, seq=s, bc=bc, eps=eps,
-                          compute_dtype=cdt, quant_w=w8),
+                          head_dim=head_dim, n_kv_heads=n_kv_heads,
+                          seq=s, bc=bc, eps=eps, compute_dtype=cdt,
+                          quant_cache=quant_cache, quant_w=w8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, e), x.dtype),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
-        input_output_aliases={14: 1, 15: 2},
+        input_output_aliases={13: 1, 14: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -659,9 +776,10 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
         interpret=interpret,
     )(jnp.reshape(length, (1,)).astype(jnp.int32),
       x,
-      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32), rep,
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32),
       v3(p["norm1_w"]), p["wq"], p["wk"], p["wv"], p["wo"],
       v3(p["norm2_w"]), p["wg"], p["wu"], p["wd"],
       k_cache, v_cache,
+      *cache_scales,
       *([p[k + "_s"] for k in WEIGHT_KEYS] if w8 else []))
     return xo, kc_out, vc_out

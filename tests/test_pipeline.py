@@ -65,12 +65,46 @@ def test_predictor_w8a16_plumbing():
     tok = tokenizers.ByteTokenizer(eot_id=299)
     xs = np.random.default_rng(5).standard_normal((2, 32, 8)).astype(np.float32)
 
+    # 'fused TPU' matches BOTH family guards: the GPT message says 'fused
+    # TPU decode path' (models/gpt2.py), the LLaMA one 'fused TPU path'
+    # (models/llama.py) — ADVICE r4
     for kwargs in ({"top_k": 5}, {"beam_width": 2}):
         predict = pipeline.make_franky_predictor(
             model, params, tok, max_new_tokens=6, eot_id=299,
             int8_weights=True, **kwargs)
-        with pytest.raises(NotImplementedError, match="fused TPU decode"):
+        with pytest.raises(NotImplementedError, match="fused TPU"):
             predict(xs)
+
+
+def test_predictor_w8a16_plumbing_llama():
+    """The FrankyLlama branch of the same contract: int8_weights must reach
+    the LLaMA-family loud guard off-TPU (models/llama.py), covering the
+    guard message the GPT-only parametrization missed (ADVICE r4)."""
+    import pytest
+    from frankenstein_tpu.models.franky import FrankyLlama, FrankyLlamaConfig
+    from frankenstein_tpu.models import llama as llama_mod
+
+    cfg = FrankyLlamaConfig(
+        brain=PerceiverConfig(
+            encoder=MAEConfig(window_size=32, n_electrodes=8, patch_size=8,
+                              dim=16, n_layers=1, head_dim=8, hidden_dim=32,
+                              n_heads=2, n_kv_heads=2, n_dec_layers=1,
+                              decoder_dim=16),
+            n_output_tokens=4, output_dim=32, dim=16, n_layers=1, head_dim=8,
+            hidden_dim=32, n_heads=2, n_kv_heads=2),
+        lm=llama_mod.tiny_llama_config(vocab_size=300))
+    model = FrankyLlama(cfg)
+    x1 = jnp.zeros((1, 32, 8), jnp.float32)
+    y1 = jnp.zeros((1, cfg.max_tokens), jnp.int32)
+    params = model.init(jax.random.key(0), x1, y1)
+    tok = tokenizers.ByteTokenizer(eot_id=299)
+    xs = np.random.default_rng(5).standard_normal((2, 32, 8)).astype(np.float32)
+
+    predict = pipeline.make_franky_predictor(
+        model, params, tok, max_new_tokens=6, eot_id=299,
+        int8_weights=True, top_k=5)
+    with pytest.raises(NotImplementedError, match="fused TPU"):
+        predict(xs)
 
 
 def test_predictor_with_llama_rescorer():
