@@ -21,7 +21,7 @@ HF weight import for locally-available Whisper checkpoints lives in
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -85,22 +85,65 @@ class _MHA(nn.Module):
     def kv(self, ctx):
         return self._split(self.k_proj(ctx)), self._split(self.v_proj(ctx))
 
-    def cached_self(self, x, k_cache, v_cache, length):
+    def cached_self(self, x, k_cache, v_cache, length, k_scale=None,
+                    v_scale=None):
+        """Cached self-attention step. int8 caches (``k_scale/v_scale``
+        [1, 1, H, D] f32 given): the new rows REQUANTIZE with the fixed
+        per-(head, dim) scales before the in-place write — old codes are
+        untouched, so repeated steps only round the new row (the
+        fused_decode.quantize_with_scales contract) — and attention runs
+        on the dequantized view."""
         q = self._split(self.q_proj(x))
         k = self._split(self.k_proj(x))
         v = self._split(self.v_proj(x))
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
-        out = attn_ops.cached_attention(q, k_cache, v_cache, length + 1)
+        if k_scale is not None:
+            q8 = lambda r, s: jnp.clip(
+                jnp.round(r.astype(jnp.float32) / s), -127, 127
+                ).astype(jnp.int8)
+            # attention sees the FLOAT new row (the GPT-kernel own-token
+            # convention — the row only rounds for steps that READ it
+            # later); the cache stores the codes
+            kf = jax.lax.dynamic_update_slice(
+                k_cache.astype(q.dtype) * k_scale.astype(q.dtype),
+                k.astype(q.dtype), (0, length, 0, 0))
+            vf = jax.lax.dynamic_update_slice(
+                v_cache.astype(q.dtype) * v_scale.astype(q.dtype),
+                v.astype(q.dtype), (0, length, 0, 0))
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, q8(k, k_scale), (0, length, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, q8(v, v_scale), (0, length, 0, 0))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, length, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, length, 0, 0))
+            kf, vf = k_cache, v_cache
+        out = attn_ops.cached_attention(q, kf, vf, length + 1)
         return (self.out_proj(out.reshape(x.shape[0], x.shape[1], self.dim)),
                 k_cache, v_cache)
 
     def cross_from_kv(self, x, k, v):
+        """Cross attention against precomputed K/V. When x carries MORE
+        batch rows than k/v (beam decode over an UNREPLICATED cross cache —
+        see ``BrainWhisper.expand_cache``), the W beams of each sentence
+        fold into the query-time axis: cross attention has no mask and no
+        position dependence, so q rows of one group attending one shared
+        encoding as [B, W, H, D] is the replicated computation re-batched,
+        not an approximation — and the cross K/V stream (the dominant
+        decode-step bytes: ~1.18 GB/step replicated at whisper-tiny b=32
+        w=5) shrinks W-fold."""
         q = self._split(self.q_proj(x))
+        bw, t = x.shape[0], x.shape[1]
+        b = k.shape[0]
+        if bw != b:
+            w = bw // b
+            assert t == 1 and b * w == bw, (bw, b, t)
+            q = q.reshape(b, w, self.n_head, self.dim // self.n_head)
+            out = attn_ops.dot_product_attention(q, k, v)   # [B, W, H, D]
+            return self.out_proj(out.reshape(bw, 1, self.dim))
         out = attn_ops.dot_product_attention(q, k, v)
-        return self.out_proj(out.reshape(x.shape[0], x.shape[1], self.dim))
+        return self.out_proj(out.reshape(bw, t, self.dim))
 
 
 class _MLP(nn.Module):
@@ -149,9 +192,11 @@ class DecoderBlock(nn.Module):
         x = x + self.encoder_attn(self.encoder_attn_layer_norm(x), enc)
         return x + self.mlp(self.final_layer_norm(x))
 
-    def cached(self, x, enc_k, enc_v, k_cache, v_cache, length):
+    def cached(self, x, enc_k, enc_v, k_cache, v_cache, length,
+               k_scale=None, v_scale=None):
         h, k_cache, v_cache = self.self_attn.cached_self(
-            self.self_attn_layer_norm(x), k_cache, v_cache, length)
+            self.self_attn_layer_norm(x), k_cache, v_cache, length,
+            k_scale, v_scale)
         x = x + h
         x = x + self.encoder_attn.cross_from_kv(
             self.encoder_attn_layer_norm(x), enc_k, enc_v)
@@ -279,26 +324,68 @@ class BrainWhisper(nn.Module):
         return logits, (new_ks, new_vs, cross), jnp.int32(t)
 
     def decode_step(self, token, cache, length, qweights=None):
-        """One cached decoder step. ``qweights`` is accepted for the generic
-        beam-scan contract (decode/sampling.py passes it positionally) but
-        w8a16 is not plumbed for whisper — the tiny decoder's weights are a
-        small fraction of step bytes next to the cross/self caches."""
-        assert qweights is None, "w8a16 is not supported on the whisper path"
-        ks, vs, cross = cache
+        """One cached decoder step. ``cache`` is the float (ks, vs, cross)
+        tuple from ``prefill`` or a ``WhisperQuantCache`` (int8 self-KV and
+        optionally int8 cross-KV, built by ``quantize_whisper_cache``);
+        either may carry the cross K/V at batch B while tokens run at B*W
+        beam rows (``expand_cache``) — the grouped cross attention reads
+        the unreplicated tensors.
+
+        ``qweights`` is accepted for the generic beam-scan contract
+        (decode/sampling.py passes it positionally) but w8a16 is not
+        plumbed for whisper: at whisper-tiny geometry the decoder matmul
+        weights are ~14 MB/step — ~4% of the beam step's HBM bytes next to
+        the cross (~236 MB at b=32 w=5 even after the W-fold replica skip)
+        and self-KV streams, so the w8a16 lever the GPT/LLaMA kernels pull
+        does not exist on this path; int8 KV (the dominant streams) is the
+        supported quantization."""
+        if qweights is not None:
+            raise NotImplementedError(
+                "w8a16 is not supported on the whisper path (decoder "
+                "weights are ~4% of step bytes; use "
+                "quantize_whisper_cache for int8 KV instead)")
+        quant = isinstance(cache, WhisperQuantCache)
+        ks, vs, cross = cache[0], cache[1], cache[2]
         x = (jnp.take(self.embed_tokens, token[:, None], axis=0)
              + jax.lax.dynamic_slice_in_dim(self.embed_positions, length, 1)[None]
              ).astype(self.dtype)
         new_ks, new_vs = [], []
         for i, blk in enumerate(self.dec_blocks):
-            x, k, v = blk.cached(x, cross[i][0], cross[i][1],
-                                 ks[i], vs[i], length)
+            ck, cv = cross[i]
+            if quant and cache.cross_scales:
+                sk, sv = cache.cross_scales[i]
+                ck = ck.astype(self.dtype) * sk.astype(self.dtype)
+                cv = cv.astype(self.dtype) * sv.astype(self.dtype)
+            x, k, v = blk.cached(
+                x, ck, cv, ks[i], vs[i], length,
+                *( (cache.k_scales[i], cache.v_scales[i]) if quant
+                   else (None, None) ))
             new_ks.append(k)
             new_vs.append(v)
         x = self.dec_ln(x)
         logits = jnp.einsum("btd,dv->btv", x,
                             jnp.transpose(self.embed_tokens.astype(x.dtype)),
                             preferred_element_type=jnp.float32)[:, 0]
-        return logits, (new_ks, new_vs, cross), length + 1
+        new_cache = (cache._replace(ks=tuple(new_ks), vs=tuple(new_vs))
+                     if quant else (new_ks, new_vs, cross))
+        return logits, new_cache, length + 1
+
+    @staticmethod
+    def expand_cache(cache, w: int):
+        """Replicate a batch-B prefilled decode state to B*W beam rows
+        (decode/sampling._beam_expand hook) — but NOT the cross K/V: rows
+        within a beam group would be identical replicas of one sentence's
+        encoding (the same fact reorder_cache exploits to skip the cross
+        gather), and ``cross_from_kv`` attends the W beams against the
+        shared [B, ...] tensors directly. The cross stream is the dominant
+        decode-step bytes (~1.18 GB/step replicated at whisper-tiny b=32
+        w=5), so keeping it unreplicated cuts it W-fold."""
+        rep = lambda c: jnp.repeat(c, w, axis=0)
+        if isinstance(cache, WhisperQuantCache):
+            return cache._replace(ks=tuple(rep(k) for k in cache.ks),
+                                  vs=tuple(rep(v) for v in cache.vs))
+        ks, vs, cross = cache
+        return ([rep(k) for k in ks], [rep(v) for v in vs], cross)
 
 
 def _reorder_whisper_cache(cache, flat_idx, group: int = 0):
@@ -307,10 +394,62 @@ def _reorder_whisper_cache(cache, flat_idx, group: int = 0):
     the dominant cache bytes (the full encoder sequence per layer) — is
     SKIPPED: beam parents never leave their sentence's w-row group and
     cross rows within a group are identical replicas of one sentence's
-    encoding, so any group-local permutation of them is the identity."""
+    encoding (or, after ``expand_cache``, ONE unreplicated row per
+    sentence), so any group-local permutation of them is the identity.
+    int8 codes (WhisperQuantCache) gather like any dtype; the fixed scales
+    carry no batch axis."""
+    if isinstance(cache, WhisperQuantCache):
+        take = lambda c: jnp.take(c, flat_idx, axis=0)
+        return cache._replace(ks=tuple(take(k) for k in cache.ks),
+                              vs=tuple(take(v) for v in cache.vs))
     ks, vs, cross = cache
     take = lambda c: jnp.take(c, flat_idx, axis=0)
     return ([take(k) for k in ks], [take(v) for v in vs], cross)
+
+
+class WhisperQuantCache(NamedTuple):
+    """int8 whisper decode state: self-KV codes (+ optionally cross-KV
+    codes) with fixed per-(layer, head, dim) dequant scales. Indices
+    [0]/[1]/[2] mirror the float (ks, vs, cross) tuple so shape-probing
+    call sites work on both. Build with ``quantize_whisper_cache`` after
+    prefill; the scales are frozen for the whole decode (new rows
+    requantize with them — old codes round-trip exactly)."""
+
+    ks: tuple            # per-layer [B*W, S, H, D] int8
+    vs: tuple
+    cross: tuple         # per-layer (k, v) — int8 codes when quantized
+    k_scales: tuple      # per-layer [1, 1, H, D] f32
+    v_scales: tuple
+    cross_scales: tuple  # per-layer (sk, sv) when cross is int8, else ()
+
+
+def quantize_whisper_cache(cache, quant_cross: bool = True):
+    """(ks, vs, cross) float prefill state -> WhisperQuantCache.
+
+    Symmetric absmax int8 over (batch, position) per (head, dim) channel —
+    the whisper twin of gpt2.quantize_cache. ``quant_cross=True`` also
+    quantizes the cross K/V (read-only; at whisper-tiny b=32 w=5 it is
+    still the dominant stream even after the expand_cache replica skip,
+    so halving it matters more than halving the self-KV); accuracy is
+    tolerance-tested in tests/test_whisper.py."""
+    def q_side(c):
+        cf = c.astype(jnp.float32)
+        s = (jnp.maximum(jnp.max(jnp.abs(cf), axis=(0, 1)), 1e-6)
+             / 127.0)[None, None]                       # [1, 1, H, D]
+        codes = jnp.clip(jnp.round(cf / s), -127, 127).astype(jnp.int8)
+        return codes, s
+
+    ks, vs, cross = cache
+    k8, ksc = zip(*(q_side(k) for k in ks))
+    v8, vsc = zip(*(q_side(v) for v in vs))
+    if quant_cross:
+        cq = [(q_side(ck), q_side(cv)) for ck, cv in cross]
+        cross8 = tuple((ck8, cv8) for (ck8, _), (cv8, _) in cq)
+        csc = tuple((sk, sv) for (_, sk), (_, sv) in cq)
+    else:
+        cross8, csc = tuple(cross), ()
+    return WhisperQuantCache(tuple(k8), tuple(v8), cross8,
+                             tuple(ksc), tuple(vsc), csc)
 
 
 def init_whisper_cache(cfg: WhisperConfig, batch: int, max_len: int,

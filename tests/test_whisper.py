@@ -362,3 +362,116 @@ def test_whisper_beam_matches_hf_beam_no_eos():
         model, params, logits, cache, length, max_new_tokens=steps,
         beam_width=4, eos_id=None, length_penalty=0.0)
     np.testing.assert_array_equal(np.asarray(got), ref_tail)
+
+
+# ---------------------------------------------------------------------------
+# round 5: unreplicated-cross beams, int8 KV, w8a16 guard (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_expand_cache_keeps_cross_unreplicated_and_matches(tiny_whisper):
+    """BrainWhisper.expand_cache keeps the cross K/V at batch B (the
+    dominant decode stream shrinks W-fold); the grouped cross attention
+    must reproduce the fully-replicated beam search — same tokens, scores
+    to f32 reassociation tolerance."""
+    from frankenstein_tpu.decode import sampling
+
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(31)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    logits, cache, length, _ = _whisper_prefill_state(model, params, cfg,
+                                                      mel, 6)
+    w = 3
+    # shape contract: expand_cache replicates self-KV only
+    ex = whisper.BrainWhisper.expand_cache(cache, w)
+    assert ex[0][0].shape[0] == 2 * w
+    assert ex[2][0][0].shape[0] == 2          # cross stays at batch B
+
+    toks, scores = sampling.beam_from_prefill(
+        model, params, logits, cache, length, max_new_tokens=6,
+        beam_width=w, eos_id=None, length_penalty=0.0)
+
+    # reference: fully-replicated cache through the same beam scan
+    rep = lambda c: jnp.repeat(c, w, axis=0)
+    full_cache = ([rep(k) for k in cache[0]], [rep(v) for v in cache[1]],
+                  [(rep(ck), rep(cv)) for ck, cv in cache[2]])
+    ref_toks, ref_scores = sampling._beam_scan(
+        model, params, rep(logits), full_cache, length, 2,
+        max_new_tokens=6, beam_width=w, eos_id=None, pad_id=None,
+        length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               atol=1e-5)
+
+
+def test_whisper_int8_kv_decode_drift_bounded(tiny_whisper):
+    """quantize_whisper_cache: old self-KV codes round-trip exactly through
+    a decode step, the cross stays frozen, and step logits stay close to
+    the float-cache step (both cross-quant modes)."""
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(32)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    logits, cache, length, _ = _whisper_prefill_state(model, params, cfg,
+                                                      mel, 6)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    ref_logits, _, _ = model.apply(params, tok, cache, length,
+                                   method=whisper.BrainWhisper.decode_step)
+    for quant_cross in (False, True):
+        qc = whisper.quantize_whisper_cache(cache, quant_cross=quant_cross)
+        assert qc.ks[0].dtype == jnp.int8
+        assert (qc.cross[0][0].dtype == jnp.int8) == quant_cross
+        q_logits, q_cache, _ = model.apply(
+            params, tok, qc, length, method=whisper.BrainWhisper.decode_step)
+        # rows before `length` keep their codes (fixed-scale round-trip)
+        np.testing.assert_array_equal(
+            np.asarray(q_cache.ks[0][:, :int(length)]),
+            np.asarray(qc.ks[0][:, :int(length)]))
+        scale = float(np.max(np.abs(np.asarray(ref_logits)))) + 1e-6
+        drift = float(np.max(np.abs(np.asarray(q_logits)
+                                    - np.asarray(ref_logits)))) / scale
+        assert drift < 0.05, (quant_cross, drift)
+
+
+def test_whisper_int8_kv_beams_run_and_agree(tiny_whisper):
+    """int8-KV beams (the VERDICT r4 #2 serving mode) run through
+    beam_from_prefill end-to-end — expand, grouped cross dequant, reorder
+    of int8 codes — and agree with the float beams on a clearly-peaked
+    tiny model (token agreement is the serving contract; exact equality is
+    not promised under quantization)."""
+    from frankenstein_tpu.decode import sampling
+
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(33)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    logits, cache, length, _ = _whisper_prefill_state(model, params, cfg,
+                                                      mel, 6)
+    ref_toks, _ = sampling.beam_from_prefill(
+        model, params, logits, cache, length, max_new_tokens=6,
+        beam_width=3, eos_id=None, length_penalty=0.0)
+    qc = whisper.quantize_whisper_cache(cache)
+    q_toks, q_scores = sampling.beam_from_prefill(
+        model, params, logits, qc, length, max_new_tokens=6,
+        beam_width=3, eos_id=None, length_penalty=0.0)
+    assert q_toks.shape == ref_toks.shape
+    assert np.isfinite(np.asarray(q_scores)).all()
+    # at least the first step's argmax should survive int8 rounding
+    np.testing.assert_array_equal(np.asarray(q_toks[:, 0]),
+                                  np.asarray(ref_toks[:, 0]))
+
+
+def test_whisper_w8a16_guard_is_loud(tiny_whisper):
+    """w8a16 stays a loud, attributed NotImplementedError on the whisper
+    path (decoder weights are ~4% of step bytes — the measured reason)."""
+    model, params, cfg = tiny_whisper
+    rng = np.random.default_rng(34)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    logits, cache, length, _ = _whisper_prefill_state(model, params, cfg,
+                                                      mel, 6)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    with pytest.raises(NotImplementedError, match="int8 KV"):
+        model.apply(params, tok, cache, length, {"dummy": 1},
+                    method=whisper.BrainWhisper.decode_step)

@@ -22,7 +22,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(batch: int = 32, max_new: int = 25, beam: int = 0):
+def main(batch: int = 32, max_new: int = 25, beam: int = 0,
+         int8_kv: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +63,11 @@ def main(batch: int = 32, max_new: int = 25, beam: int = 0):
 
     def full_fn(params, key):
         logits, cache, length = prefill(params, key)
+        if int8_kv:
+            # int8 self-KV + int8 cross-KV (fixed per-(head, dim) scales,
+            # models/whisper.py:quantize_whisper_cache) — halves the
+            # dominant cache streams of the beam step
+            cache = whisper_lib.quantize_whisper_cache(cache)
         if beam > 1:
             toks, _ = sampling.beam_from_prefill(
                 model, params, logits, cache, length, max_new_tokens=max_new,
@@ -78,6 +84,7 @@ def main(batch: int = 32, max_new: int = 25, beam: int = 0):
         "model": "whisper-tiny-geometry",
         "batch": batch,
         "beam_width": beam,
+        "int8_kv": bool(int8_kv),
         "max_new_tokens": max_new,
         "prefill_encode_ms_per_batch": round(prefill_s * 1000, 2),
         "decode_ms_per_batch": round(decode_s * 1000, 2),
@@ -87,6 +94,7 @@ def main(batch: int = 32, max_new: int = 25, beam: int = 0):
 
 
 if __name__ == "__main__":
-    # usage: whisper_bench.py [batch] [beam_width]
+    # usage: whisper_bench.py [batch] [beam_width] [int8_kv]
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
-         beam=int(sys.argv[2]) if len(sys.argv) > 2 else 0)
+         beam=int(sys.argv[2]) if len(sys.argv) > 2 else 0,
+         int8_kv=int(sys.argv[3]) if len(sys.argv) > 3 else 0)
