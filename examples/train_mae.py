@@ -50,6 +50,16 @@ def main():
                             project_name="mae",
                             save_folder=Path(args.save_folder))
 
+    # pretrain -> finetune: the checkpoint this run leaves behind warm-starts
+    # the composites (the workflow the reference intends but never wires —
+    # its train_mae.ipynb MAE is never loaded by franky_baseline_gpt2.ipynb):
+    #   python train.py --model franky --init-encoder-from \
+    #       logs/brainformer_simple --data ... --patch 32 --window 768
+    # (geometry must match; mismatches raise — see
+    # frankenstein_tpu/train/checkpoints.py:graft_encoder_from_mae)
+    print(f"warm-start a composite with: train.py --model franky "
+          f"--init-encoder-from {Path(args.save_folder) / tcfg.exp_name}")
+
 
 if __name__ == "__main__":
     main()

@@ -241,7 +241,9 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
                     mesh=None,
                     hooks: Optional[Callable] = None,
                     eval_metric: Optional[Callable] = None,
-                    resume: bool = False) -> TrainState:
+                    resume: bool = False,
+                    init_params_transform: Optional[Callable] = None
+                    ) -> TrainState:
     """Step-based training loop (reference:utils/train_utils.py:93-186):
     infinite epochs over the train loader, eval every ``eval_interval`` steps,
     best-val checkpoint, stop at ``max_steps`` (a multi-step dispatch group
@@ -276,6 +278,13 @@ def run_train_model(spec: TrainableSpec, datasets, config: TrainConfig,
     sample = next(iter(batch_iterator(train_ds, min(config.batch_size, 8),
                                       shuffle=False, epochs=1)))
     state, tx = init_state(spec, config, sample)
+
+    # warm-start hook (e.g. checkpoints.graft_encoder_from_mae for the
+    # MAE -> Franky/FrankyLlama transfer): rewrites params BEFORE
+    # sharding/replication; the freshly-initialized optimizer state is
+    # shape-compatible (Adam moments are zeros of the param shapes)
+    if init_params_transform is not None:
+        state = state.replace(params=init_params_transform(state.params))
 
     # auto-resume: pick up the best prior checkpoint, params + OPT STATE +
     # step (the reference can only reload weights, reference:train_utils.py:171)

@@ -17,7 +17,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
+
+if os.environ.get("FK_PLATFORM"):
+    # fresh-process platform override (the axon TPU plugin overrides the
+    # JAX_PLATFORMS env var, so subprocess tests — e.g. the day-1 dress
+    # rehearsal — set FK_PLATFORM=cpu and we win via jax.config)
+    import jax
+    jax.config.update("jax_platforms", os.environ["FK_PLATFORM"])
 
 
 def make_spec(name, cfg, dtype, window: int = 768):
@@ -213,6 +221,12 @@ def main():
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--synthetic-trials", type=int, default=512)
     p.add_argument("--save-folder", default="logs")
+    p.add_argument("--init-encoder-from", default=None, metavar="CKPT",
+                   help="graft a pretrained MAE checkpoint's encoder into "
+                        "the franky/franky-llama composite before training "
+                        "(orbax step_*_loss_* dir, or a run dir — best by "
+                        "val loss is picked); the MAEConfig geometry must "
+                        "match the composite's brain encoder")
     p.add_argument("--mesh", default=None,
                    help="data,model mesh shape, e.g. '8,1'")
     args = p.parse_args()
@@ -261,9 +275,28 @@ def main():
     else:
         cfg = TrainConfig(**cli_values)
 
+    init_transform = None
+    if args.init_encoder_from:
+        if args.model not in ("franky", "moe-gpt", "franky-llama"):
+            raise SystemExit("--init-encoder-from needs a composite model "
+                             "(franky / moe-gpt / franky-llama)")
+        from frankenstein_tpu.train import checkpoints as ckpt_lib
+        init_transform = lambda params: ckpt_lib.graft_encoder_from_mae(
+            args.init_encoder_from, params)
+
     save = Path(args.save_folder)
+    # serialize the MODEL config next to the run so downstream CLIs
+    # (examples/submit_data.py --run-dir) rebuild the exact model without
+    # re-stating geometry flags (SURVEY.md §5: config serialized per run)
+    run_dir = save / cfg.exp_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    mc = (model_cfg.to_dict() if hasattr(model_cfg, "to_dict")
+          else [c.to_dict() for c in model_cfg])
+    (run_dir / "model_config.json").write_text(
+        json.dumps({"model": args.model, "model_config": mc}, indent=1))
     state = run_train_model(spec, datasets_, cfg, project_name="frankenstein_tpu",
-                            save_folder=save)
+                            save_folder=save,
+                            init_params_transform=init_transform)
     print(f"done at step {int(state.step)}; logs in {save / cfg.exp_name}")
 
 
