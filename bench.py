@@ -54,6 +54,7 @@ HEADLINE_W8 = os.environ.get("BENCH_W8", "1") == "1"
 HEADLINE_QK_INT8 = os.environ.get("BENCH_QK_INT8", "0") == "1"
 
 _PARAMS = [None]
+_T_CHILD_START = time.monotonic()
 
 
 def _bench(fn, n_iters, key0=100, repeats=2):
@@ -170,6 +171,7 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
     }
 
     if with_baseline:
+        t_headline_done = time.monotonic()
         # ---- reference scheme: full re-forward per token, no cache ----------
         # Measured as ONE full-length LLM forward x max_new steps (fixed full
         # length == the reference's final-step cost, a LOWER bound on its
@@ -191,8 +193,98 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
         result["vs_baseline"] = round(ours / baseline, 2)
         result["baseline_nocache_sentences_per_sec"] = round(baseline, 2)
 
+        # ---- north-star composite (VERDICT r4 #4): FrankyLlama serving ------
+        # rows in the SAME driver artifact, at the serving config (b=32,
+        # w=5, w8a16 — BASELINE.md). Best-effort: skipped when the headline
+        # already ate the budget (the driver kills the child at ~1500 s).
+        if os.environ.get("BENCH_FRANKY_LLAMA", "1") == "1":
+            spent = t_headline_done - _T_CHILD_START
+            if spent < float(os.environ.get("BENCH_FL_DEADLINE_S", "900")):
+                try:
+                    result["franky_llama"] = franky_llama_metrics()
+                except Exception as e:        # noqa: BLE001 — best-effort row
+                    result["franky_llama"] = {"error": repr(e)[:300]}
+            else:
+                result["franky_llama"] = {"skipped": f"budget ({spent:.0f}s)"}
+
     print(json.dumps(result), flush=True)
     return result
+
+
+def franky_llama_metrics(batch: int = 32, beam: int = 5, max_new: int = 25,
+                         w8: bool = True) -> dict:
+    """FrankyLlama (brain prefix -> LLaMA, the reference README's
+    unimplemented north star) serving metrics at the measured-best config:
+    encode / greedy decode / width-``beam`` beams / n-best rescoring, each
+    as a fori_loop-differenced device measurement (see _bench). Shared by
+    the driver headline (main) and tools/franky_llama_bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from frankenstein_tpu.config import GPT2_EOT
+    from frankenstein_tpu.decode import sampling
+    from frankenstein_tpu.decode.pipeline import cast_params_for_inference
+    from frankenstein_tpu.models.franky import FrankyLlama, FrankyLlamaConfig
+
+    cfg = FrankyLlamaConfig()           # flagship brain + ~110M LLaMA
+    model = FrankyLlama(cfg, dtype=jnp.bfloat16)
+    shape = (batch, cfg.brain.encoder.window_size,
+             cfg.brain.encoder.n_electrodes)
+
+    x1 = jnp.zeros((1,) + shape[1:], jnp.float32)
+    y1 = jnp.zeros((1, cfg.max_tokens), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
+    params = cast_params_for_inference(params)
+    saved = _PARAMS[0]
+    _PARAMS[0] = params
+    idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
+    pdim, ptok = cfg.lm.dim, cfg.brain.n_output_tokens
+
+    def encode_fn(params, key):
+        x = jax.random.normal(key, shape, jnp.float32)
+        return model.apply(params, x, method=type(model).encode)
+
+    def greedy_fn(params, key):
+        prefix = jax.random.normal(key, (batch, ptok, pdim), jnp.float32)
+        return sampling.generate(model, params, idx0, prefix, key,
+                                 max_new_tokens=max_new, top_k=10,
+                                 int8_weights=w8)
+
+    def beams_fn(params, key):
+        prefix = jax.random.normal(key, (batch, ptok, pdim), jnp.float32)
+        toks, _ = sampling.beam_search(model, params, idx0, prefix,
+                                       max_new_tokens=max_new,
+                                       beam_width=beam, eos_id=GPT2_EOT,
+                                       length_penalty=1.0, int8_weights=w8)
+        return toks.astype(jnp.float32)
+
+    def rescore_fn(params, key):
+        cands = jax.random.randint(key, (batch * beam, max_new), 0,
+                                   cfg.lm.vocab_size)
+        return model.apply(params, cands, None,
+                           method=type(model).sequence_logprob)
+
+    try:
+        encode_s = _bench(encode_fn, 8)
+        greedy_s = _bench(greedy_fn, 8)
+        beams_s = _bench(beams_fn, 6)
+        rescore_s = _bench(rescore_fn, 6)
+    finally:
+        _PARAMS[0] = saved
+    return {
+        "model": "franky-llama (~110M LM, flagship brain)",
+        "w8a16": bool(w8),
+        "batch": batch,
+        "beam_width": beam,
+        "encode_ms_per_batch": round(encode_s * 1000, 1),
+        "greedy_decode_ms_per_batch": round(greedy_s * 1000, 1),
+        "beam_decode_ms_per_batch": round(beams_s * 1000, 1),
+        "rescore_ms_per_batch": round(rescore_s * 1000, 1),
+        "greedy_sentences_per_sec_per_chip": round(
+            batch / (encode_s + greedy_s), 1),
+        "rescored_beams_sentences_per_sec_per_chip": round(
+            batch / (encode_s + beams_s + rescore_s), 1),
+    }
 
 
 def _latency():
