@@ -293,7 +293,9 @@ class Llama(nn.Module):
                 and c.moe_experts == 0 and fused_llama_decode.supported(
                     c.n_heads, c.head_dim, c.n_kv_heads, c.hidden_dim, b, s,
                     itemsize=jnp.dtype(self.dtype).itemsize,
-                    cache_itemsize=jnp.dtype(k_cache.dtype).itemsize)):
+                    cache_itemsize=jnp.dtype(k_cache.dtype).itemsize,
+                    w_itemsize=1 if qweights is not None else None,
+                    n_layers=c.n_layers)):
             x = jnp.take(self.embed, token, axis=0).astype(self.dtype)
             table = rope_ops.build_rope_cache(c.head_dim, s, c.rope_theta)
             cos_e, sin_e = rope_ops.folded_tables(table, c.n_heads)

@@ -100,7 +100,10 @@ def _layer_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
     """One layer's math for one batch chunk — shared VERBATIM by the
     Mosaic-pipelined grid kernel (``_kernel``) and the manually-double-
     buffered one (``_kernel_pipelined``) so their outputs are bit-identical
-    (the fused_decode.py:_chunk_math pattern).
+    (the fused_decode.py:_chunk_math pattern). The big-model kernel
+    (``_kernel_bigmodel``) reuses ``_attn_math`` but streams the MLP in
+    hidden chunks, so its MLP differs by f32 partial-sum reassociation
+    only.
 
     x: [BC, E] f32 residual; length: scalar int32; kc/vc: [BC, S, E_kv]
     cache-dtype arrays, kv heads UNEXPANDED (stale — the new row folds in
@@ -112,6 +115,20 @@ def _layer_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
     contract), plus ks/vs [1, E_kv] cache-dequant scales when
     ``quant_cache``; cos/sin [1, E] f32 folded rope rows. Returns
     (x' [BC, E] f32, row_k, row_v [BC, E_kv] in ``cache_dtype``)."""
+    x, row_k, row_v = _attn_math(
+        x, length, w, kc, vc, cos, sin, n_heads=n_heads, head_dim=head_dim,
+        n_kv_heads=n_kv_heads, seq=seq, eps=eps, compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype, quant_cache=quant_cache, quant_w=quant_w)
+    x = _mlp_math(x, w, eps=eps, compute_dtype=compute_dtype,
+                  quant_w=quant_w)
+    return x, row_k, row_v
+
+
+def _attn_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
+               head_dim: int, n_kv_heads: int, seq: int, eps: float,
+               compute_dtype, cache_dtype, quant_cache: bool,
+               quant_w: bool):
+    """Attention sublayer of ``_layer_math`` (see its docstring)."""
     scale = 1.0 / np.sqrt(head_dim)
     cdt = compute_dtype
     e = n_heads * head_dim
@@ -119,7 +136,6 @@ def _layer_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
     rfac = n_heads // n_kv_heads
     nkv = n_kv_heads
 
-    # ---- attention sublayer --------------------------------------------
     h = _rms_f32(x, w["norm1"], eps)
     dot = lambda a, wm: jax.lax.dot_general(
         a.astype(cdt), wm.astype(cdt), (((1,), (0,)), ((), ())),
@@ -205,9 +221,15 @@ def _layer_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
     y = dot(o, w["wo"])
     if quant_w:
         y = y * w["so"]
-    x = x + y
+    return x + y, row_k, row_v
 
-    # ---- SwiGLU MLP ------------------------------------------------------
+
+def _mlp_math(x, w, *, eps: float, compute_dtype, quant_w: bool):
+    """SwiGLU MLP sublayer of ``_layer_math`` (see its docstring)."""
+    cdt = compute_dtype
+    dot = lambda a, wm: jax.lax.dot_general(
+        a.astype(cdt), wm.astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     h2 = _rms_f32(x, w["norm2"], eps)
     g = dot(h2, w["wg"])
     u = dot(h2, w["wu"])
@@ -220,8 +242,7 @@ def _layer_math(x, length, w, kc, vc, cos, sin, *, n_heads: int,
                              preferred_element_type=jnp.float32)
     if quant_w:
         y2 = y2 * w["sd"]
-    x = x + y2
-    return x, row_k, row_v
+    return x + y2
 
 
 _SCALE_KEYS = ("sq", "sk", "sv", "so", "sg", "su", "sd")
@@ -320,9 +341,15 @@ def _pick_batch_chunk(b: int, s: int, e: int, e_kv: int, f: int,
 
 def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
               b: int, s: int, itemsize: int = 2, cache_itemsize: int = None,
+              w_itemsize: int = None, n_layers: int = 0,
               interpret: bool = False) -> bool:
     """Static gate; callers fall back to the scanned XLA path.
-    ``cache_itemsize`` defaults to ``itemsize`` (pass 1 for int8 KV)."""
+    ``cache_itemsize`` defaults to ``itemsize`` (pass 1 for int8 KV);
+    ``w_itemsize`` to the compute width (pass 1 for w8a16). When the
+    standard per-layer-weights-resident kernels don't fit, geometries the
+    big-model chunked-MLP kernel can hold are also accepted — pass
+    ``n_layers`` to enable that check (its VMEM budget holds all layers'
+    norm/scale vectors)."""
     if not interpret and jax.default_backend() != "tpu":
         return False
     e, e_kv = n_heads * head_dim, n_kv_heads * head_dim
@@ -332,8 +359,15 @@ def supported(n_heads: int, head_dim: int, n_kv_heads: int, hidden: int,
         return False
     if head_dim % 2 != 0 or n_heads % n_kv_heads != 0:
         return False
-    return _pick_batch_chunk(b, s, e, e_kv, hidden, itemsize,
-                             cache_itemsize) > 0
+    if _pick_batch_chunk(b, s, e, e_kv, hidden, itemsize,
+                         cache_itemsize) > 0:
+        return True
+    if n_layers > 0:
+        wi = w_itemsize if w_itemsize is not None else max(itemsize, 2)
+        ci = cache_itemsize if cache_itemsize is not None else itemsize
+        return _pick_bigmodel_chunks(b, s, e, e_kv, hidden, n_layers,
+                                     itemsize, wi, ci) > 0
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -531,6 +565,306 @@ def _pick_batch_chunk_pipelined(b: int, s: int, e: int, e_kv: int, f: int,
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Big-model variant: one layer's weights no longer fit VMEM double-buffered
+# (a ~1B-class LLaMA layer is ~45M weights — ~90 MB bf16 against a ~100 MB
+# usable VMEM budget), so the grid and pipelined kernels above gate
+# themselves out and decode falls back to the scanned XLA path, which has
+# no w8a16 route at all. This kernel streams the MLP weights in ``hc``
+# hidden-chunks (wg/wu [E, F/hc], wd [F/hc, E] slices, double-buffered with
+# explicit async copies) while the attention weights — much smaller —
+# double-buffer per layer as usual. The MLP hidden contraction splits into
+# exact per-chunk partial sums accumulated in f32 (w8a16 out-lane scales
+# apply after the full sum), so outputs differ from the unchunked kernels
+# by f32 reassociation only. Restriction: the whole batch runs as ONE
+# chunk (nc == 1) — at big-model geometries VMEM math caps the batch at
+# ~32 anyway, and re-streaming chunked weights per batch chunk would
+# multiply the dominant stream.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bigmodel(len_ref, x_ref, cos_ref, sin_ref, norm1, norm2,
+                     wq_h, wk_h, wv_h, wo_h, wg_h, wu_h, wd_h,
+                     kc_h, vc_h, *rest,
+                     n_layers: int, n_heads: int, head_dim: int,
+                     n_kv_heads: int, seq: int, hc: int, eps: float,
+                     compute_dtype, quant_cache: bool, quant_w: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = 0
+    if quant_cache:
+        ks_ref, vs_ref = rest[i], rest[i + 1]           # [L, 1, E_kv] f32
+        i += 2
+    if quant_w:
+        scale_refs = rest[i:i + 7]                      # [L, 1, out] f32
+        i += 7
+    (xout_ref, kco_h, vco_h,
+     wq_s, wk_s, wv_s, wo_s, mg_s, mu_s, md_s,
+     kc_s, vc_s, kt_s, vt_s, x_scr, wsem, msem, csem, tsem) = rest[i:i + 19]
+
+    f = wg_h.shape[2]
+    fc = f // hc
+    length = len_ref[0]
+    base = (length // 8) * 8
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+           == (length - base))
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+
+    awmats = ((wq_h, wq_s), (wk_h, wk_s), (wv_h, wv_s), (wo_h, wo_s))
+
+    def wcopies(l, lslot):
+        return [pltpu.make_async_copy(h.at[l], s.at[lslot], wsem.at[lslot, j])
+                for j, (h, s) in enumerate(awmats)]
+
+    def mcopies(l, c, mslot):
+        cols = pl.ds(c * fc, fc)
+        return [
+            pltpu.make_async_copy(wg_h.at[l, :, cols], mg_s.at[mslot],
+                                  msem.at[mslot, 0]),
+            pltpu.make_async_copy(wu_h.at[l, :, cols], mu_s.at[mslot],
+                                  msem.at[mslot, 1]),
+            pltpu.make_async_copy(wd_h.at[l, cols, :], md_s.at[mslot],
+                                  msem.at[mslot, 2]),
+        ]
+
+    def ccopies(l, slot):
+        return [
+            pltpu.make_async_copy(kc_h.at[l], kc_s.at[slot],
+                                  csem.at[slot, 0]),
+            pltpu.make_async_copy(vc_h.at[l], vc_s.at[slot],
+                                  csem.at[slot, 1]),
+        ]
+
+    def tcopies(l, slot):
+        tile = pl.ds(base, 8)
+        return [
+            pltpu.make_async_copy(kt_s.at[slot], kco_h.at[l, :, tile],
+                                  tsem.at[slot, 0]),
+            pltpu.make_async_copy(vt_s.at[slot], vco_h.at[l, :, tile],
+                                  tsem.at[slot, 1]),
+        ]
+
+    for c in wcopies(0, 0):                             # warm-up
+        c.start()
+    for c in mcopies(0, 0, 0):
+        c.start()
+    for j in range(min(_CSLOTS - 1, n_layers)):         # cache lookahead
+        for c in ccopies(j, j % _CSLOTS):
+            c.start()
+
+    def body(l, _):
+        slot = jax.lax.rem(l, _CSLOTS)
+        tslot = jax.lax.rem(l, 2)
+        lslot = jax.lax.rem(l, 2)
+        nxt = l + (_CSLOTS - 1)
+
+        @pl.when(nxt < n_layers)
+        def _start_next_cache():
+            for c in ccopies(nxt, jax.lax.rem(nxt, _CSLOTS)):
+                c.start()
+
+        for c in wcopies(l, lslot):
+            c.wait()
+        for c in ccopies(l, slot):
+            c.wait()
+
+        @pl.when(l >= 2)
+        def _wait_tiles():
+            for c in tcopies(l - 2, tslot):
+                c.wait()
+
+        @pl.when(l == 0)
+        def _load():
+            x_scr[...] = x_ref[...].astype(jnp.float32)
+
+        x = x_scr[...]
+        w = {"norm1": norm1[l], "norm2": norm2[l],
+             "wq": wq_s[lslot], "wk": wk_s[lslot], "wv": wv_s[lslot],
+             "wo": wo_s[lslot]}
+        if quant_cache:
+            w["ks"], w["vs"] = ks_ref[l], vs_ref[l]
+        if quant_w:
+            for key, ref in zip(_SCALE_KEYS, scale_refs):
+                if key in ("sq", "sk", "sv", "so"):
+                    w[key] = ref[l]
+        x, row_k, row_v = _attn_math(
+            x, length, w, kc_s[slot], vc_s[slot], cos, sin,
+            n_heads=n_heads, head_dim=head_dim, n_kv_heads=n_kv_heads,
+            seq=seq, eps=eps, compute_dtype=compute_dtype,
+            cache_dtype=kt_s.dtype, quant_cache=quant_cache,
+            quant_w=quant_w)
+
+        kt_s[tslot] = jnp.where(sel, row_k[:, None, :],
+                                kc_s[slot, :, pl.ds(base, 8)])
+        vt_s[tslot] = jnp.where(sel, row_v[:, None, :],
+                                vc_s[slot, :, pl.ds(base, 8)])
+        for c in tcopies(l, tslot):
+            c.start()
+
+        # attention weights for l+1 stream UNDER the MLP compute
+        @pl.when(l + 1 < n_layers)
+        def _start_attn_weights():
+            for c in wcopies(l + 1, jax.lax.rem(l + 1, 2)):
+                c.start()
+
+        # ---- chunked SwiGLU MLP (static unroll over hidden chunks) ----
+        cdt = compute_dtype
+        h2 = _rms_f32(x, norm2[l], eps)
+        dotf = lambda a, wm: jax.lax.dot_general(
+            a.astype(cdt), wm.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y2 = jnp.zeros_like(x)
+        sg = scale_refs[4] if quant_w else None
+        su = scale_refs[5] if quant_w else None
+        for c in range(hc):
+            mslot = c % 2
+            for cp in mcopies(l, c, mslot):
+                cp.wait()
+            if c + 1 < hc:
+                for cp in mcopies(l, c + 1, (c + 1) % 2):
+                    cp.start()
+            else:
+                @pl.when(l + 1 < n_layers)
+                def _start_next_mlp():
+                    for cp in mcopies(l + 1, 0, (c + 1) % 2):
+                        cp.start()
+            g = dotf(h2, mg_s[mslot])
+            u = dotf(h2, mu_s[mslot])
+            if quant_w:
+                cols = pl.ds(c * fc, fc)
+                g = g * sg[l, :, cols]
+                u = u * su[l, :, cols]
+            act = (g * jax.nn.sigmoid(g) * u).astype(cdt)
+            y2 = y2 + dotf(act, md_s[mslot])
+        if quant_w:
+            y2 = y2 * scale_refs[6][l]                  # sd: [1, E]
+        x = x + y2
+
+        x_scr[...] = x
+
+        @pl.when(l == n_layers - 1)
+        def _store():
+            xout_ref[...] = x.astype(xout_ref.dtype)
+
+        return _
+
+    jax.lax.fori_loop(0, n_layers, body, None)
+    for j in range(max(0, n_layers - 2), n_layers):     # drain write-backs
+        for c in tcopies(j, j % 2):
+            c.wait()
+
+
+def _vmem_estimate_bigmodel(b: int, s: int, e: int, e_kv: int, f: int,
+                            hc: int, n_layers: int, itemsize: int,
+                            w_itemsize: int, cache_itemsize: int) -> int:
+    compute = max(itemsize, 2)
+    fc = f // hc
+    attn_w = 2 * (2 * e * e + 2 * e * e_kv) * w_itemsize
+    mlp_w = 2 * 3 * e * fc * w_itemsize
+    caches = _CSLOTS * 2 * b * s * e_kv * cache_itemsize
+    tiles = 2 * 2 * b * 8 * e_kv * cache_itemsize
+    norms = 2 * n_layers * e * 4 + 2 * e * 4
+    scales = n_layers * (3 * e + 2 * e_kv + 2 * f) * 4   # w8a16 worst case
+    stack = b * s * e * (3 * compute + 4) + 4 * b * fc * 4 + 12 * b * e * 4
+    return (attn_w + mlp_w + caches + tiles + norms + scales + stack
+            + 2 * b * e * 4)
+
+
+def _pick_bigmodel_chunks(b: int, s: int, e: int, e_kv: int, f: int,
+                          n_layers: int, itemsize: int, w_itemsize: int,
+                          cache_itemsize: int) -> int:
+    """Smallest hidden-chunk count hc (1 <= hc, f/hc % 128 == 0) whose VMEM
+    estimate fits; 0 if none does. nc == 1 (whole batch as one chunk)."""
+    if b % 8 != 0:
+        return 0
+    hc = 1
+    while hc <= 64:
+        if f % hc == 0 and (f // hc) % 128 == 0:
+            if _vmem_estimate_bigmodel(b, s, e, e_kv, f, hc, n_layers,
+                                       itemsize, w_itemsize,
+                                       cache_itemsize) < (
+                    VMEM_LIMIT * _HEADROOM):
+                return hc
+        hc += 1
+    return 0
+
+
+def _fused_llama_decode_bigmodel(x, stacked, k_cache, v_cache, length,
+                                 cos_row, sin_row, k_scale, v_scale, *,
+                                 n_layers: int, n_heads: int, head_dim: int,
+                                 n_kv_heads: int, hidden: int, eps: float,
+                                 hc: int, compute_dtype, quant_cache: bool,
+                                 quant_w: bool, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, e = x.shape
+    s = k_cache.shape[2]
+    e_kv = n_kv_heads * head_dim
+    fc = hidden // hc
+    p = stacked
+    cdt = compute_dtype
+    wdt = p["wq"].dtype
+    cache_dt = k_cache.dtype
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    v3 = lambda a: a[:, None, :]
+
+    operands = [jnp.reshape(length, (1,)).astype(jnp.int32), x,
+                cos_row.astype(jnp.float32), sin_row.astype(jnp.float32),
+                v3(p["norm1_w"]), v3(p["norm2_w"]),
+                p["wq"], p["wk"], p["wv"], p["wo"],
+                p["wg"], p["wu"], p["wd"], k_cache, v_cache]
+    in_specs = ([smem, vmem, vmem, vmem, vmem, vmem]
+                + [any_spec] * 7 + [any_spec] * 2)
+    if quant_cache:
+        operands += [k_scale, v_scale]
+        in_specs += [vmem, vmem]
+    if quant_w:
+        operands += [p[k + "_s"] for k in WEIGHT_KEYS]
+        in_specs += [vmem] * 7
+
+    xo, kc_out, vc_out = pl.pallas_call(
+        functools.partial(_kernel_bigmodel, n_layers=n_layers,
+                          n_heads=n_heads, head_dim=head_dim,
+                          n_kv_heads=n_kv_heads, seq=s, hc=hc, eps=eps,
+                          compute_dtype=cdt, quant_cache=quant_cache,
+                          quant_w=quant_w),
+        in_specs=in_specs,
+        out_specs=[vmem, any_spec, any_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, e), x.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, e, e), wdt),             # wq
+            pltpu.VMEM((2, e, e_kv), wdt),          # wk
+            pltpu.VMEM((2, e, e_kv), wdt),          # wv
+            pltpu.VMEM((2, e, e), wdt),             # wo
+            pltpu.VMEM((2, e, fc), wdt),            # wg chunk
+            pltpu.VMEM((2, e, fc), wdt),            # wu chunk
+            pltpu.VMEM((2, fc, e), wdt),            # wd chunk
+            pltpu.VMEM((_CSLOTS, b, s, e_kv), cache_dt),
+            pltpu.VMEM((_CSLOTS, b, s, e_kv), cache_dt),
+            pltpu.VMEM((2, b, 8, e_kv), cache_dt),
+            pltpu.VMEM((2, b, 8, e_kv), cache_dt),
+            pltpu.VMEM((b, e), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((_CSLOTS, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={13: 1, 14: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return xo, kc_out, vc_out
+
+
 def _fused_llama_decode_pipelined(x, stacked, k_cache, v_cache, length,
                                   cos_row, sin_row, k_scale, v_scale, *,
                                   n_layers: int, n_heads: int,
@@ -715,7 +1049,27 @@ def fused_llama_decode_blocks(x, stacked, k_cache, v_cache, length,
                 interpret=interpret)
     bc = _pick_batch_chunk(b, s, e, e_kv, hidden, jnp.dtype(cdt).itemsize,
                            jnp.dtype(k_cache.dtype).itemsize)
-    assert bc > 0, "caller must gate on supported()"
+    if bc == 0 or os.environ.get("FK_LLAMA_BIG", "0") == "1":
+        # per-layer weights don't fit VMEM double-buffered (1B-class
+        # geometry): the chunked-MLP big-model kernel streams them in
+        # hidden chunks. FK_LLAMA_BIG=1 forces it (tests, control runs).
+        hc = _pick_bigmodel_chunks(
+            b, s, e, e_kv, hidden, n_layers, jnp.dtype(cdt).itemsize,
+            jnp.dtype(stacked["wq"].dtype).itemsize,
+            jnp.dtype(k_cache.dtype).itemsize)
+        # FK_LLAMA_BIG_HC forces the chunk count (tests exercise the
+        # multi-chunk accumulation on geometries where hc=1 would fit)
+        hc_env = int(os.environ.get("FK_LLAMA_BIG_HC", "0"))
+        if hc_env > 0 and hidden % hc_env == 0 \
+                and (hidden // hc_env) % 128 == 0:
+            hc = hc_env
+        assert hc > 0, "caller must gate on supported()"
+        return _fused_llama_decode_bigmodel(
+            x, stacked, k_cache, v_cache, length, cos_row, sin_row,
+            k_scale, v_scale, n_layers=n_layers, n_heads=n_heads,
+            head_dim=head_dim, n_kv_heads=n_kv_heads, hidden=hidden,
+            eps=eps, hc=hc, compute_dtype=cdt, quant_cache=quant_cache,
+            quant_w=w8, interpret=interpret)
     grid = (n_layers, b // bc)
 
     mat = lambda d1, d2: pl.BlockSpec((1, d1, d2),

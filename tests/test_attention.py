@@ -334,6 +334,7 @@ def test_folded_slab_attention_matches_unfolded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_rope_fused_matches_rope_plus_slab():
     """The rope-fused [B, T, E] kernel (RoPE rotated IN KERNEL, production
     qb=512/chunk=1024 tiling) must match apply_rope + the XLA slab oracle —

@@ -52,6 +52,7 @@ def test_masking_indices_partition():
         assert (np.diff(np.asarray(masked[b])) > 0).all()
 
 
+@pytest.mark.slow
 def test_mae_forward_and_grads():
     """Reference smoke cell: MAE on ones returns finite loss
     (reference:notebooks_trainer/train_mae.ipynb)."""
@@ -119,6 +120,7 @@ def tiny_franky():
     return model, params, cfg
 
 
+@pytest.mark.slow
 def test_franky_loss_and_grads(tiny_franky):
     """Reference smoke: Franky loss on random input
     (reference:franky_baseline_gpt2.ipynb cell 7)."""

@@ -28,6 +28,7 @@ def test_jit_eager_parity():
         debugging.jit_eager_parity(f, jnp.zeros(2))
 
 
+@pytest.mark.slow
 def test_trainer_resume(tmp_path):
     import jax
     from frankenstein_tpu.config import TrainConfig, VQVAEConfig

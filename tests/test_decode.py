@@ -33,6 +33,7 @@ def reference_greedy(model, params, idx0, prefix, steps):
     return idx[:, idx0.shape[1]:]
 
 
+@pytest.mark.slow
 def test_generate_greedy_matches_reference_scheme(tiny_gpt):
     model, params, cfg = tiny_gpt
     rng = np.random.default_rng(0)
@@ -240,6 +241,7 @@ def oracle_beam_eos(model, params, idx0, prefix, vocab, steps, w, eos, pad,
     return beams[best][0], norm[best]
 
 
+@pytest.mark.slow
 def test_beam_eos_matches_oracle_forced_early_eos(tiny_gpt):
     """Forced-early-EOS case: eos == the greedy first token, so the top beam
     finishes at step 1; frozen beams must emit pad, stop accumulating

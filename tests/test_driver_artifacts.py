@@ -2,6 +2,7 @@
 + multichip dryrun) and bench.py (round-end benchmark)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +17,7 @@ def test_graft_entry_tiny_traces():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_two_devices():
     import __graft_entry__ as g
     g.dryrun_multichip(2)   # exercises DP and the TPxDP llama phase

@@ -2,6 +2,7 @@
 with replicated DP on the 8-device mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +23,7 @@ def test_fsdp_spec_picks_divisible_dim():
     assert shard_lib.fsdp_spec((16,), mesh) == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_fsdp_training_matches_replicated():
     mesh = mesh_lib.make_mesh((8, 1))
     spec = tiny_franky_spec()

@@ -437,6 +437,7 @@ def test_int8_weights_require_fused_path():
 # MoE-MLP GPT (GPTConfig.moe_experts > 0, models/moe.py)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_moe_gpt_forward_and_grads():
     """moe_experts>0 swaps every block's MLP for MoESwiGLU: loss is finite,
     includes the balancing aux, grads flow to expert AND router params, and

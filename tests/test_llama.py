@@ -378,6 +378,7 @@ def test_tensor_parallel_matches_single_device(tiny):
     assert any("down_proj" in s for s in sharded)
 
 
+@pytest.mark.slow
 def test_llama_moe_mlp():
     """LlamaConfig.moe_experts>0 swaps the SwiGLU for a routed MoE: finite
     loss including the balancing aux, grads to experts and router, and the
@@ -548,3 +549,89 @@ def test_expand_cache_and_beam_from_prefill(tiny):
     qx = llama.Llama.expand_cache(qc, w)
     assert qx.k.shape[1] == cache[0].shape[1] * w
     assert qx.k_scale.shape == qc.k_scale.shape
+
+
+@pytest.mark.parametrize("mode", ["float", "w8", "int8kv"])
+def test_fused_decode_bigmodel_matches_scanned(monkeypatch, mode):
+    """The big-model chunked-MLP kernel (FK_LLAMA_BIG=1, 2 hidden chunks
+    forced) against the scanned XLA step: reassociation-level logit
+    agreement and exact new-row cache codes — float, w8a16, and int8-KV.
+    This is the kernel that serves 1B-class geometries whose per-layer
+    weights exceed VMEM (the grid/pipelined kernels gate out there)."""
+    from frankenstein_tpu.models.gpt2 import quantize_cache
+    from frankenstein_tpu.models.llama import _stack_llama_decode_weights
+    from frankenstein_tpu.ops import rope as rope_ops
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+
+    monkeypatch.setenv("FK_LLAMA_BIG", "1")
+    monkeypatch.setenv("FK_LLAMA_BIG_HC", "2")
+    fld.fused_llama_decode_blocks._clear_cache()
+
+    cfg = llama.LlamaConfig(vocab_size=64, dim=256, n_layers=3, n_heads=4,
+                            n_kv_heads=2, hidden_dim=256, max_seq_len=16)
+    lm = llama.Llama(cfg)
+    rng = np.random.default_rng(51)
+    idx0 = jnp.asarray(rng.integers(0, 64, (8, 5)), jnp.int32)
+    params = lm.init(jax.random.key(0), idx0)
+
+    cache = llama.init_llama_cache(cfg, 8, 16)
+    logits, cache, length = lm.apply(params, idx0, None, cache,
+                                     method=llama.Llama.prefill)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    stacked = _stack_llama_decode_weights(params["params"]["layers"],
+                                          jnp.float32)
+    k_scale = v_scale = None
+    kc_in, vc_in = cache
+    if mode == "w8":
+        stacked = fld.quantize_weights(stacked)
+    if mode == "int8kv":
+        qc = quantize_cache(cache)
+        kc_in, vc_in = qc.k, qc.v
+        k_scale, v_scale = qc.k_scale, qc.v_scale
+        ref_logits, ref_cache, _ = lm.apply(params, tok, qc, length,
+                                            method=llama.Llama.decode_step)
+        ref_k = ref_cache.k
+    else:
+        ref_logits, ref_cache, _ = lm.apply(params, tok, cache, length,
+                                            method=llama.Llama.decode_step)
+        ref_k = ref_cache[0]
+
+    x = jnp.take(params["params"]["embed"], tok, axis=0)
+    table = rope_ops.build_rope_cache(cfg.head_dim, 16, cfg.rope_theta)
+    cos_e, sin_e = rope_ops.folded_tables(table, cfg.n_heads)
+    cos = jax.lax.dynamic_slice_in_dim(cos_e, length, 1)
+    sin = jax.lax.dynamic_slice_in_dim(sin_e, length, 1)
+    xo, kc, vc = fld.fused_llama_decode_blocks(
+        x, stacked, jnp.copy(kc_in), jnp.copy(vc_in), length, cos, sin,
+        k_scale, v_scale,
+        n_layers=cfg.n_layers, n_heads=cfg.n_heads, head_dim=cfg.head_dim,
+        n_kv_heads=cfg.n_kv_heads, hidden=cfg.hidden_dim, eps=cfg.norm_eps,
+        interpret=True)
+    fld.fused_llama_decode_blocks._clear_cache()
+    got_logits = lm.apply(
+        params, xo,
+        method=lambda m, a: m._head(m.norm_f(a[:, None]))[:, 0])
+
+    if mode == "w8":
+        # int8 weight rounding dominates; bound drift vs the float ref
+        scale = float(np.max(np.abs(np.asarray(ref_logits)))) + 1e-6
+        drift = float(np.max(np.abs(np.asarray(got_logits)
+                                    - np.asarray(ref_logits)))) / scale
+        assert drift < 0.05, drift
+    else:
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(ref_logits),
+                                   atol=2e-3, rtol=1e-3)
+    if mode == "int8kv":
+        np.testing.assert_array_equal(np.asarray(kc), np.asarray(ref_k))
+    elif mode == "w8":
+        # the new row is computed from int8 weights; its drift vs the
+        # float-weight reference is the weight-rounding class
+        scale = float(np.max(np.abs(np.asarray(ref_k)))) + 1e-6
+        drift = float(np.max(np.abs(np.asarray(kc)
+                                    - np.asarray(ref_k)))) / scale
+        assert drift < 0.05, drift
+    else:
+        np.testing.assert_allclose(np.asarray(kc), np.asarray(ref_k),
+                                   atol=5e-5, rtol=1e-5)

@@ -3,6 +3,7 @@ oracle, capacity dropping, load-balance loss, gradient sanity, and
 expert-parallel sharding parity on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -137,6 +138,7 @@ def test_expert_parallel_matches_unsharded():
     np.testing.assert_allclose(float(aux_ep), float(aux_ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_gpt_trains_on_mesh():
     """train.py --model moe-gpt end-to-end (tiny geometry): the MoE franky
     builds from the CLI registry, EP-shards over the (data, model) mesh,
@@ -182,6 +184,7 @@ def test_moe_gpt_trains_on_mesh():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_moe_gpt_bf16_forward():
     """Regression: a bf16 MoE-GPT must keep its residual stream bf16.
     MoESwiGLU receives LayerNorm output, which is f32 even in bf16 models

@@ -66,6 +66,7 @@ def tiny_batch(n=8, t=32, c=8, tokens=8, seed=0):
     return x, y, d
 
 
+@pytest.mark.slow
 def test_grad_accum_equivalence():
     spec = tiny_franky_spec()
     batch = tiny_batch(8)
@@ -89,6 +90,7 @@ def test_grad_accum_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_train_loop_franky_on_mesh(tmp_path):
     """End-to-end: synthetic data, 8-device data-parallel mesh, loss drops,
     checkpoint lands, restore round-trips."""
@@ -119,6 +121,7 @@ def test_train_loop_franky_on_mesh(tmp_path):
         assert a.shape == b.shape
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_equivalence():
     """steps_per_dispatch: K steps inside one dispatched scan produce
     EXACTLY the same state as K single-step calls (per-step rngs derive
@@ -194,6 +197,7 @@ def test_train_loop_vqvae_updates_codebook(tmp_path):
     assert "perplexity" in " ".join(aux.keys())
 
 
+@pytest.mark.slow
 def test_remat_matches_baseline():
     """jax.checkpoint changes memory, not math."""
     spec = tiny_franky_spec()
@@ -272,6 +276,7 @@ def test_mixed_precision_casts_float_inputs_only():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_mae_to_composite_transfer(tmp_path):
     """The pretrain-then-finetune workflow (VERDICT r4 weak #3: the
     reference trains an MAE it can never use —
