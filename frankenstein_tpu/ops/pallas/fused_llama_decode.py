@@ -709,6 +709,15 @@ def _kernel_bigmodel(len_ref, x_ref, cos_ref, sin_ref, norm1, norm2,
                 c.start()
 
         # ---- chunked SwiGLU MLP (static unroll over hidden chunks) ----
+        # Slot parity is GLOBAL over (layer, chunk): chunk c of layer l
+        # lives in slot (l*hc + c) % 2, so the cross-layer prefetch (last
+        # chunk of l starts chunk 0 of l+1) and l+1's wait agree for odd
+        # hc too — with the per-layer c % 2 convention an odd hc put the
+        # prefetch in slot 1 while the next layer waited slot 0: a
+        # semaphore deadlock the TPU watchdog reports as a worker crash
+        # (found by tools/llama_scale_probe.py at 1B w8a16, where the
+        # int8 weights fit hc=1; interpret-mode copies are synchronous
+        # and cannot catch it).
         cdt = compute_dtype
         h2 = _rms_f32(x, norm2[l], eps)
         dotf = lambda a, wm: jax.lax.dot_general(
@@ -717,17 +726,18 @@ def _kernel_bigmodel(len_ref, x_ref, cos_ref, sin_ref, norm1, norm2,
         y2 = jnp.zeros_like(x)
         sg = scale_refs[4] if quant_w else None
         su = scale_refs[5] if quant_w else None
+        pb = jax.lax.rem(l * hc, 2)
         for c in range(hc):
-            mslot = c % 2
+            mslot = jax.lax.rem(pb + c, 2)
             for cp in mcopies(l, c, mslot):
                 cp.wait()
             if c + 1 < hc:
-                for cp in mcopies(l, c + 1, (c + 1) % 2):
+                for cp in mcopies(l, c + 1, jax.lax.rem(pb + c + 1, 2)):
                     cp.start()
             else:
                 @pl.when(l + 1 < n_layers)
                 def _start_next_mlp():
-                    for cp in mcopies(l + 1, 0, (c + 1) % 2):
+                    for cp in mcopies(l + 1, 0, jax.lax.rem(pb + hc, 2)):
                         cp.start()
             g = dotf(h2, mg_s[mslot])
             u = dotf(h2, mu_s[mslot])

@@ -551,20 +551,26 @@ def test_expand_cache_and_beam_from_prefill(tiny):
     assert qx.k_scale.shape == qc.k_scale.shape
 
 
+@pytest.mark.parametrize("hc", [1, 2])
 @pytest.mark.parametrize("mode", ["float", "w8", "int8kv"])
-def test_fused_decode_bigmodel_matches_scanned(monkeypatch, mode):
-    """The big-model chunked-MLP kernel (FK_LLAMA_BIG=1, 2 hidden chunks
-    forced) against the scanned XLA step: reassociation-level logit
+def test_fused_decode_bigmodel_matches_scanned(monkeypatch, mode, hc):
+    """The big-model chunked-MLP kernel (FK_LLAMA_BIG=1, forced hidden
+    chunk count) against the scanned XLA step: reassociation-level logit
     agreement and exact new-row cache codes — float, w8a16, and int8-KV.
     This is the kernel that serves 1B-class geometries whose per-layer
-    weights exceed VMEM (the grid/pipelined kernels gate out there)."""
+    weights exceed VMEM (the grid/pipelined kernels gate out there).
+    hc covers BOTH slot parities: odd hc regression-tests the global
+    (layer*hc + chunk) % 2 double-buffer parity — the per-layer c % 2
+    convention put the cross-layer prefetch in the slot the next layer
+    did not wait on (a TPU semaphore deadlock; in interpret mode the
+    copies are synchronous, so the bug shows as stale-slot weights)."""
     from frankenstein_tpu.models.gpt2 import quantize_cache
     from frankenstein_tpu.models.llama import _stack_llama_decode_weights
     from frankenstein_tpu.ops import rope as rope_ops
     from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
 
     monkeypatch.setenv("FK_LLAMA_BIG", "1")
-    monkeypatch.setenv("FK_LLAMA_BIG_HC", "2")
+    monkeypatch.setenv("FK_LLAMA_BIG_HC", str(hc))
     fld.fused_llama_decode_blocks._clear_cache()
 
     cfg = llama.LlamaConfig(vocab_size=64, dim=256, n_layers=3, n_heads=4,

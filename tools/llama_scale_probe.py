@@ -83,9 +83,17 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
                                  max_new_tokens=max_new, greedy=True,
                                  int8_weights=True)
 
+    # print each measurement as it lands: a kernel fault in one variant
+    # (the way the round-5 odd-hc deadlock surfaced) must not lose the
+    # variants already measured
     greedy_s = bench._bench(greedy_fn, 4)
+    print(json.dumps({"partial": "greedy_s", "value": round(greedy_s, 4)}),
+          flush=True)
     w8_s = (bench._bench(greedy_w8_fn, 4) if gates["w8a16"]
             and os.environ.get("FK_LLAMA_FUSED", "1") == "1" else None)
+    if w8_s is not None:
+        print(json.dumps({"partial": "w8_s", "value": round(w8_s, 4)}),
+              flush=True)
 
     def prefill_fn(params, key):
         toks = jax.random.randint(key, (batch, prompt), 0, cfg.vocab_size)
