@@ -56,6 +56,12 @@ def make_franky_predictor(model, params, tokenizer, *,
     counter = {"n": 0}
     params = cast_params_for_inference(params, getattr(model, "dtype",
                                                        jnp.float32))
+    # quantize ONCE at predictor build: the predictor is a serving-loop
+    # closure, and per-call quantization costs a device weight-tree
+    # read+write plus a separate dispatch per request (sampling.
+    # quantize_serving_weights)
+    qweights = (sampling.quantize_serving_weights(model, params)
+                if int8_weights else None)
 
     def predict(xs) -> List[str]:
         b = xs.shape[0]
@@ -73,7 +79,7 @@ def make_franky_predictor(model, params, tokenizer, *,
                 max_new_tokens=max_new_tokens, beam_width=beam_width,
                 eos_id=eot_id, length_penalty=1.0,
                 n_best=rescorer is not None,
-                int8_weights=int8_weights)
+                int8_weights=int8_weights, qweights=qweights)
             if rescorer is not None:
                 from frankenstein_tpu.models import llama as llama_mod
                 lm_module, lm_params = rescorer[0], rescorer[1]
@@ -88,7 +94,8 @@ def make_franky_predictor(model, params, tokenizer, *,
             toks = sampling.generate(model, params, idx0, prefix, rng,
                                      max_new_tokens=max_new_tokens,
                                      temperature=temperature, top_k=top_k,
-                                     int8_weights=int8_weights)
+                                     int8_weights=int8_weights,
+                                     qweights=qweights)
         trimmed = sampling.trim_at_eot(toks, eot_id)
         return [tokenizer.decode(t, skip_special_tokens=True) for t in trimmed]
 

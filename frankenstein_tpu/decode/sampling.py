@@ -66,6 +66,19 @@ def _quantize_weights_for(module, params):
     return _quantize_weights_jit(params, dt)
 
 
+def quantize_serving_weights(module, params):
+    """Precompute the w8a16 decode-weight tree ONCE for a serving loop and
+    pass it as ``qweights=`` to generate/beam_search/sampled_beam_search:
+    per-call quantization (``int8_weights=True`` alone) costs a device
+    read+write of the whole block-weight tree per request plus a separate
+    dispatch — on a remote-tunnel harness that dispatch is a full ~33 ms
+    RTT of request latency. At 1B scale the on-device cost alone is
+    ~2.7 ms/request (BASELINE.md round 5). Routes to the model family's
+    quantizer (GPT "h" stacks / LLaMA "layers", possibly under a Franky
+    composite)."""
+    return _quantize_weights_for(module, params)
+
+
 def _round_cache_len(n: int, mult: int = 16) -> int:
     """Round the KV-cache length up to a TPU-tileable multiple — padding rows
     are masked out anyway, and the fused decode kernel
@@ -128,7 +141,7 @@ def _prefill_args(module, params, idx0, prefix, max_len):
 def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
              temperature: float = 1.0, top_k: Optional[int] = None,
              greedy: bool = False, int8_kv: bool = False,
-             int8_weights: bool = False) -> jnp.ndarray:
+             int8_weights: bool = False, qweights=None) -> jnp.ndarray:
     """Top-k sampling (or greedy) with a KV cache.
 
     idx0: [B, T0] prompt ids (the reference seeds with <|endoftext|>);
@@ -140,6 +153,11 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     property-tested (logit drift small vs the bf16 cache). ``int8_weights=
     True`` (w8a16) additionally quantizes the block matmul weights ONCE per
     call with per-(layer, out-lane) scales — fused TPU decode path only.
+    A serving loop calling repeatedly with the SAME params should instead
+    pass ``qweights`` precomputed once (``quantize_serving_weights``):
+    per-call quantization costs a weight-tree read+write on device PLUS a
+    separate dispatch (~33 ms RTT on this harness's remote tunnel — real
+    request latency, not just device time).
 
     Prefill and the sampling scan are jitted SEPARATELY (not one fused
     program): the remote-compile path of this TPU harness rejects the
@@ -152,8 +170,8 @@ def generate(module, params, idx0, prefix, rng, *, max_new_tokens: int,
     logits, cache, length = _prefill_args(module, params, idx0, prefix, max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
-    qweights = (_quantize_weights_for(module, params)
-                if int8_weights else None)
+    if qweights is None and int8_weights:
+        qweights = _quantize_weights_for(module, params)
     return _sample_scan(module, params, logits, cache, length, rng,
                         qweights=qweights,
                         max_new_tokens=max_new_tokens, temperature=temperature,
@@ -247,7 +265,8 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                 beam_width: int = 3, length_normalize: bool = False,
                 eos_id: Optional[int] = None, pad_id: Optional[int] = None,
                 length_penalty: float = 0.0, int8_kv: bool = False,
-                int8_weights: bool = False, n_best: bool = False):
+                int8_weights: bool = False, qweights=None,
+                n_best: bool = False):
     """Deterministic batched beam search (the behavior of
     reference:gpt2_model.py:415-454, vectorized) with EOS handling the
     reference lacks: when ``eos_id`` is given, a beam that emits it is FROZEN
@@ -275,8 +294,8 @@ def beam_search(module, params, idx0, prefix, *, max_new_tokens: int,
                                           rep(prefix), max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
-    qweights = (_quantize_weights_for(module, params)
-                if int8_weights else None)
+    if qweights is None and int8_weights:
+        qweights = _quantize_weights_for(module, params)
     return _beam_scan(module, params, logits, cache, length, b,
                       qweights=qweights,
                       max_new_tokens=max_new_tokens, beam_width=w,
@@ -420,7 +439,7 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                         pad_id: Optional[int] = None,
                         length_penalty: float = 0.0,
                         int8_kv: bool = False, int8_weights: bool = False,
-                        n_best: bool = False):
+                        qweights=None, n_best: bool = False):
     """Stochastic beam search: each beam samples ``beam_width`` candidates
     from its top-k distribution, the global best W survive — the behavior of
     reference:gpt2_model.py:355-412, vectorized and cached. EOS handling as
@@ -443,8 +462,8 @@ def sampled_beam_search(module, params, idx0, prefix, rng, *,
                                           rep(prefix), max_len)
     if int8_kv:
         cache = _quantize_cache_jit(cache)
-    qweights = (_quantize_weights_for(module, params)
-                if int8_weights else None)
+    if qweights is None and int8_weights:
+        qweights = _quantize_weights_for(module, params)
     return _sampled_beam_scan(module, params, logits, cache, length, rng, b,
                               qweights=qweights,
                               max_new_tokens=max_new_tokens, beam_width=w,

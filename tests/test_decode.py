@@ -393,6 +393,22 @@ def test_beam_search_int8_weights_reach_decode_step():
                                      jax.random.key(1), max_new_tokens=3,
                                      beam_width=2, int8_weights=True)
 
+    # the serving-loop route: qweights precomputed ONCE
+    # (quantize_serving_weights) must thread identically — same loud
+    # guard, and the precomputed tree equals what per-call quantization
+    # would build
+    qw = sampling.quantize_serving_weights(model, params)
+    qw2 = sampling._quantize_weights_for(model, params)
+    for a, b in zip(jax.tree_util.tree_leaves(qw),
+                    jax.tree_util.tree_leaves(qw2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(NotImplementedError):
+        sampling.generate(model, params, idx0, None, jax.random.key(2),
+                          max_new_tokens=3, qweights=qw)
+    with pytest.raises(NotImplementedError):
+        sampling.beam_search(model, params, idx0, None, max_new_tokens=3,
+                             beam_width=2, qweights=qw)
+
 
 def test_beam_n_best_list(tiny_gpt):
     """n_best=True returns all W hypotheses best-first; row 0 equals the
