@@ -56,6 +56,7 @@ def test_generate_topk_respects_k(tiny_gpt):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(greedy))
 
 
+@pytest.mark.slow
 def test_compact_topk_path_matches_dense_oracle(tiny_gpt, monkeypatch):
     """generate() with COMPACT_TOPK forced on routes through decode_step_topk
     (the compact contract behind the fused lm_head kernel); off-TPU its
@@ -127,6 +128,7 @@ def test_beam1_equals_greedy(tiny_gpt):
     np.testing.assert_array_equal(np.asarray(beam_toks), np.asarray(greedy))
 
 
+@pytest.mark.slow
 def test_beam_score_not_worse_than_greedy(tiny_gpt):
     """Wider beams find sequences with >= log-prob."""
     model, params, cfg = tiny_gpt
@@ -309,6 +311,7 @@ def test_sampled_beam_eos_freezes(tiny_gpt):
             assert (row[stop[0] + 1:] == pad).all()
 
 
+@pytest.mark.slow
 def test_beam_search_int8_kv_close_to_float():
     """int8_kv beams: QuantCache reorders per step; tokens should mostly
     agree with the float-cache beams on a random model."""

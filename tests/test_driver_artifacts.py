@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_graft_entry_tiny_traces():
     import __graft_entry__ as g
     model, cfg = g._flagship(tiny=True)

@@ -1,5 +1,6 @@
 """WER evaluation drivers end-to-end on tiny models + whisper-through-trainer."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from frankenstein_tpu.train import trainer
 from tests.test_pipeline import tiny_franky
 
 
+@pytest.mark.slow
 def test_evaluate_franky_wer():
     model, params, cfg = tiny_franky()
     tok = tokenizers.ByteTokenizer(eot_id=299)
@@ -25,6 +27,7 @@ def test_evaluate_franky_wer():
     assert np.isfinite(wer)
 
 
+@pytest.mark.slow
 def test_evaluate_franky_llama_wer_with_rescorer():
     """The eval harness drives the FrankyLlama composite and threads a
     rescorer through the beam path (the full north-star serving chain)."""
@@ -51,6 +54,7 @@ def test_evaluate_franky_llama_wer_with_rescorer():
     assert len(preds) == 5 and np.isfinite(wer)
 
 
+@pytest.mark.slow
 def test_whisper_through_trainer_and_wer(tmp_path):
     cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=16,
                         n_audio_head=2, n_audio_layer=1, n_vocab=64,

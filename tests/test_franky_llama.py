@@ -51,6 +51,7 @@ def test_forward_contract(tiny):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward(tiny):
     """Greedy generate (prefill + decode_step scan via the generic sampling
     driver and the init_decode_cache hook) must equal token-by-token full
@@ -129,6 +130,7 @@ def test_tensor_parallel_matches_single_device(tiny):
     assert any("llm_model" in s and "q_proj" in s for s in sharded)
 
 
+@pytest.mark.slow
 def test_short_training_descends():
     from frankenstein_tpu.train import trainer
 

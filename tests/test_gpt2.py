@@ -120,6 +120,7 @@ def test_cached_decode_matches_full_forward(hf_pair):
     np.testing.assert_array_equal(cached_seq, full_seq)
 
 
+@pytest.mark.slow
 def test_dropout_active_only_in_training():
     """cfg.dropout is a real knob (the reference wires attn/resid/embd
     dropout through every block, reference:gpt2_model.py:33,66-71): with

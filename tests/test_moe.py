@@ -222,6 +222,7 @@ def test_moe_gpt_bf16_forward():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_scanned_moe_ep_rules_and_parity():
     """Layer-scanned MoE stacks ([L, E, d, f]) shard on the EXPERT axis
     (dim 1); EP-sharded GPT-MoE forward == unsharded bit-for-bit."""

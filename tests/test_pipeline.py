@@ -2,6 +2,7 @@
 generate->normalize->sub.txt chain, on tiny models."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def tiny_franky():
     return model, params, cfg
 
 
+@pytest.mark.slow
 def test_predictor_to_submission(tmp_path):
     model, params, cfg = tiny_franky()
     tok = tokenizers.ByteTokenizer(eot_id=299)

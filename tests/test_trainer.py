@@ -155,6 +155,7 @@ def test_multi_step_dispatch_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_train_loop_multi_step_dispatch(tmp_path):
     """run_train_model with steps_per_dispatch=2: step counting, logging,
     eval, and checkpointing all land on the same boundaries."""
@@ -175,6 +176,7 @@ def test_train_loop_multi_step_dispatch(tmp_path):
     assert ckpt_lib.best_checkpoint(tmp_path / "t2") is not None
 
 
+@pytest.mark.slow
 def test_train_loop_vqvae_updates_codebook(tmp_path):
     """SoundStream training threads the mutable VQ state through steps."""
     cfg_vq = VQVAEConfig(n_electrodes=8, C=8, D=4, codebook_size=16)
@@ -262,6 +264,7 @@ def test_augment_batch_time_masking():
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(batch[1]))
 
 
+@pytest.mark.slow
 def test_mixed_precision_casts_float_inputs_only():
     """mixed_precision=True casts float batch leaves to bf16 inside the step;
     the step still runs and label ints are untouched (smoke via train_step)."""

@@ -30,6 +30,7 @@ def tiny_whisper():
     return model, params, cfg
 
 
+@pytest.mark.slow
 def test_seq2seq_loss_and_shapes(tiny_whisper):
     model, params, cfg = tiny_whisper
     rng = np.random.default_rng(0)
@@ -44,6 +45,7 @@ def test_seq2seq_loss_and_shapes(tiny_whisper):
                for g in jax.tree_util.tree_leaves(grads))
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full(tiny_whisper):
     model, params, cfg = tiny_whisper
     rng = np.random.default_rng(1)
