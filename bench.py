@@ -132,21 +132,31 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
     y1 = jnp.zeros((1, max_new), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
     params = cast_params_for_inference(params)   # decode-only benchmark
-    _PARAMS[0] = params
+    # w8a16 weights quantize ONCE, outside the timed loop — the round-5
+    # serving default (make_franky_predictor precomputes qweights), so
+    # per-request quantization no longer belongs in the per-batch cost.
+    # Passed through the _PARAMS arg slot: a closure capture would embed
+    # the tree into the remote-compile payload (HTTP 413).
+    qw = (sampling.quantize_serving_weights(model, params)
+          if int8_weights else None)
+    _PARAMS[0] = (params, qw)
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
 
     # ---- ours: encode once, prefill, KV-cached scan -------------------------
     # (encode and decode are timed as separate dispatches: the combined
     # program exceeds the remote-compile upload limit of this harness)
-    def encode_fn(params, key):
+    def encode_fn(p, key):
+        params, _ = p
         x = jax.random.normal(key, shape, jnp.float32)
         return model.apply(params, x, method=type(model).encode)
 
-    def decode_fn(params, key):
+    def decode_fn(p, key):
+        params, qw = p
         prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
                                  max_new_tokens=max_new, top_k=10,
-                                 int8_kv=int8_kv, int8_weights=int8_weights)
+                                 int8_kv=int8_kv, int8_weights=int8_weights,
+                                 qweights=qw)
 
     encode_s = _bench(encode_fn, 8)
     decode_s = _bench(decode_fn, 8)
@@ -192,7 +202,8 @@ def main(batch: int = HEADLINE_BATCH, int8_kv: bool = HEADLINE_INT8_KV,
         def llm_full(m, idx, prefix, targets):
             return m.llm_model(idx, prefix=prefix, targets=targets)
 
-        def nocache_step(params, key):
+        def nocache_step(p, key):
+            params, _ = p
             prefix = jax.random.normal(key, (batch, 32, 768), jnp.float32)
             idx = jnp.full((batch, 1 + max_new), GPT2_EOT, jnp.int32)
             _, logits = model.apply(params, idx, prefix,
@@ -258,30 +269,38 @@ def franky_llama_metrics(batch: int = 32, beam: int = 5, max_new: int = 25,
     y1 = jnp.zeros((1, cfg.max_tokens), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.key(0), x1, y1))()
     params = cast_params_for_inference(params)
+    # serving default since round 5: qweights precomputed once, passed via
+    # the arg slot (closure capture -> remote-compile payload bloat)
+    qw0 = (sampling.quantize_serving_weights(model, params) if w8 else None)
     saved = _PARAMS[0]
-    _PARAMS[0] = params
+    _PARAMS[0] = (params, qw0)
     idx0 = jnp.full((batch, 1), GPT2_EOT, jnp.int32)
     pdim, ptok = cfg.lm.dim, cfg.brain.n_output_tokens
 
-    def encode_fn(params, key):
+    def encode_fn(p, key):
+        params, _ = p
         x = jax.random.normal(key, shape, jnp.float32)
         return model.apply(params, x, method=type(model).encode)
 
-    def greedy_fn(params, key):
+    def greedy_fn(p, key):
+        params, qw = p
         prefix = jax.random.normal(key, (batch, ptok, pdim), jnp.float32)
         return sampling.generate(model, params, idx0, prefix, key,
                                  max_new_tokens=max_new, top_k=10,
-                                 int8_weights=w8)
+                                 int8_weights=w8, qweights=qw)
 
-    def beams_fn(params, key):
+    def beams_fn(p, key):
+        params, qw = p
         prefix = jax.random.normal(key, (batch, ptok, pdim), jnp.float32)
         toks, _ = sampling.beam_search(model, params, idx0, prefix,
                                        max_new_tokens=max_new,
                                        beam_width=beam, eos_id=GPT2_EOT,
-                                       length_penalty=1.0, int8_weights=w8)
+                                       length_penalty=1.0, int8_weights=w8,
+                                       qweights=qw)
         return toks.astype(jnp.float32)
 
-    def rescore_fn(params, key):
+    def rescore_fn(p, key):
+        params, _ = p
         cands = jax.random.randint(key, (batch * beam, max_new), 0,
                                    cfg.lm.vocab_size)
         return model.apply(params, cands, None,
