@@ -92,6 +92,11 @@ def graft_encoder_from_mae(ckpt_path: Path, composite_params):
     ``brain_model/encoder`` and the MAE as ``encoder`` — the SAME
     ``Encoder(MAEConfig)`` module, models/brainformer.py).
 
+    ``ckpt_path`` may be a concrete orbax ``step_*_loss_*`` dir OR a
+    train.py run dir — a run dir resolves to its best-by-val-loss
+    checkpoint (``load_raw_checkpoint``), so
+    ``train.py --init-encoder-from logs/<mae_exp>`` is turnkey.
+
     ``composite_params`` may be the bare params dict (trainer-state form)
     or wrapped in ``{"params": ...}``; the same form is returned. Every
     grafted leaf must match the target's shape — a geometry mismatch
