@@ -125,7 +125,7 @@ def _prefill_args(module, params, idx0, prefix, max_len):
     b = idx0.shape[0]
     # cache in the model's compute dtype (bf16 halves decode HBM traffic);
     # modules with their own cache construction provide ``init_decode_cache``
-    # (llama: folded [L, B, S, E] with GQA heads pre-expanded) — the GPT
+    # (llama: folded [L, B, S, E_kv], GQA kv heads UNEXPANDED) — the GPT
     # family defaults to gpt2.init_cache
     dt = getattr(module, "dtype", jnp.float32)
     if hasattr(type(module), "init_decode_cache"):

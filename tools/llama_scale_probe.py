@@ -67,9 +67,10 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
     # consults the gate per step — fused when accepted, scanned otherwise
     # (FK_LLAMA_FUSED=0 forces the scanned control run)
     import os
-    routed = ("scanned (forced)"
-              if os.environ.get("FK_LLAMA_FUSED", "1") == "0"
-              else ("fused-bigmodel" if gates["bf16"] else "scanned"))
+    forced_off = os.environ.get("FK_LLAMA_FUSED", "1") == "0"
+    routed = {lbl: ("scanned (forced)" if forced_off
+                    else ("fused-bigmodel" if ok else "scanned"))
+              for lbl, ok in gates.items()}
     idx0 = jnp.zeros((batch, prompt), jnp.int32)
 
     def greedy_fn(params, key):
@@ -138,4 +139,5 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+         max_new=int(sys.argv[2]) if len(sys.argv) > 2 else 24)
