@@ -43,7 +43,11 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
     idx1 = jnp.zeros((1, prompt), jnp.int32)
     params = jax.jit(lambda: model.init(jax.random.key(0), idx1))()
     params = cast_params_for_inference(params)
-    bench._PARAMS[0] = params
+    # persistent w8a16 weights (the serving-loop convention,
+    # sampling.quantize_serving_weights): quantized ONCE here so the timed
+    # loop measures the steady-state step, not the per-request requantize
+    qw = sampling.quantize_serving_weights(model, params)
+    bench._PARAMS[0] = (params, qw)
 
     n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
     s = sampling._round_cache_len(prompt + max_new + 1)
@@ -73,16 +77,27 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
               for lbl, ok in gates.items()}
     idx0 = jnp.zeros((batch, prompt), jnp.int32)
 
-    def greedy_fn(params, key):
+    def greedy_fn(pq, key):
+        params, _ = pq
         toks = jax.random.randint(key, (batch, prompt), 0, cfg.vocab_size)
         return sampling.generate(model, params, toks, None, key,
                                  max_new_tokens=max_new, greedy=True)
 
-    def greedy_w8_fn(params, key):
+    def greedy_w8_fn(pq, key):
+        # per-call quantization variant (int8_weights=True alone): the
+        # requantize of the full weight tree rides INSIDE the timed loop
+        params, _ = pq
         toks = jax.random.randint(key, (batch, prompt), 0, cfg.vocab_size)
         return sampling.generate(model, params, toks, None, key,
                                  max_new_tokens=max_new, greedy=True,
                                  int8_weights=True)
+
+    def greedy_w8p_fn(pq, key):
+        params, qweights = pq
+        toks = jax.random.randint(key, (batch, prompt), 0, cfg.vocab_size)
+        return sampling.generate(model, params, toks, None, key,
+                                 max_new_tokens=max_new, greedy=True,
+                                 qweights=qweights)
 
     # print each measurement as it lands: a kernel fault in one variant
     # (the way the round-5 odd-hc deadlock surfaced) must not lose the
@@ -90,13 +105,19 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
     greedy_s = bench._bench(greedy_fn, 4)
     print(json.dumps({"partial": "greedy_s", "value": round(greedy_s, 4)}),
           flush=True)
-    w8_s = (bench._bench(greedy_w8_fn, 4) if gates["w8a16"]
-            and os.environ.get("FK_LLAMA_FUSED", "1") == "1" else None)
+    w8_on = (gates["w8a16"]
+             and os.environ.get("FK_LLAMA_FUSED", "1") == "1")
+    w8_s = bench._bench(greedy_w8_fn, 4) if w8_on else None
     if w8_s is not None:
         print(json.dumps({"partial": "w8_s", "value": round(w8_s, 4)}),
               flush=True)
+    w8p_s = bench._bench(greedy_w8p_fn, 4) if w8_on else None
+    if w8p_s is not None:
+        print(json.dumps({"partial": "w8p_s", "value": round(w8p_s, 4)}),
+              flush=True)
 
-    def prefill_fn(params, key):
+    def prefill_fn(pq, key):
+        params, _ = pq
         toks = jax.random.randint(key, (batch, prompt), 0, cfg.vocab_size)
         logits, _, _ = sampling._prefill_args(model, params, toks, None, s)
         return logits.sum(-1)
@@ -105,6 +126,8 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
     per_token_ms = (greedy_s - prefill_s) * 1000 / max_new
     w8_per_token_ms = (None if w8_s is None
                        else (w8_s - prefill_s) * 1000 / max_new)
+    w8p_per_token_ms = (None if w8p_s is None
+                        else (w8p_s - prefill_s) * 1000 / max_new)
 
     # HBM floor context: the decode step streams all weights + the live
     # cache rows once
@@ -130,6 +153,8 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
         "decode_ms_per_token": round(per_token_ms, 3),
         "w8a16_decode_ms_per_token": (None if w8_per_token_ms is None
                                       else round(w8_per_token_ms, 3)),
+        "w8a16_persistent_decode_ms_per_token": (
+            None if w8p_per_token_ms is None else round(w8p_per_token_ms, 3)),
         "hbm_floor_ms_per_token": round(floor_ms, 3),
         "w8a16_floor_ms_per_token": round(
             (weight_bytes / 2 + cache_bytes) / bw * 1000, 3),
