@@ -20,13 +20,17 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(batch: int = 32, beam: int = 5, max_new: int = 25, w8: int = 1):
+def main(batch: int = 32, beam: int = 5, max_new: int = 25, w8: int = 1,
+         int8_kv: int = 0):
     import bench
     print(json.dumps(bench.franky_llama_metrics(
-        batch=batch, beam=beam, max_new=max_new, w8=bool(w8))))
+        batch=batch, beam=beam, max_new=max_new, w8=bool(w8),
+        int8_kv=bool(int8_kv))))
 
 
 if __name__ == "__main__":
+    # usage: franky_llama_bench.py [batch] [beam_width] [w8] [int8_kv]
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
          int(sys.argv[2]) if len(sys.argv) > 2 else 5,
-         w8=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
+         w8=int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+         int8_kv=int(sys.argv[4]) if len(sys.argv) > 4 else 0)
