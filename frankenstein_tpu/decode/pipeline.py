@@ -35,7 +35,8 @@ def make_franky_predictor(model, params, tokenizer, *,
                           eot_id: int = GPT2_EOT,
                           seed: int = 0,
                           rescorer=None,
-                          int8_weights: bool = False) -> Callable:
+                          int8_weights: bool = False,
+                          int8_kv: bool = False) -> Callable:
     """Returns predict_fn(xs [B, T, C]) -> list[str] (length B).
 
     ``rescorer``: optional ``(lm_module, lm_params)`` or
@@ -52,7 +53,15 @@ def make_franky_predictor(model, params, tokenizer, *,
     the fused TPU decode kernel — off-TPU, or at a batch the fused gate
     rejects (kernel tiles rows in 8s; b>=8 on the flagship), the decode
     raises the loud ``NotImplementedError`` guard rather than silently
-    timing float weights."""
+    timing float weights.
+
+    ``int8_kv=True`` quantizes the prefilled KV cache to int8 (fixed
+    per-(layer, lane) scales; in-kernel requant of new rows on TPU, a
+    scanned dequant fallback elsewhere): measured +4.9% on the FrankyLlama
+    rescored-beams chain at b=32 w=5 (199.4 -> 209.1 sent/s/chip,
+    BASELINE.md round 5 — beam reorders stream half the bytes). Off by
+    default: fidelity is the documented rescoring-grade caveat, so WER
+    flows opt in explicitly."""
     counter = {"n": 0}
     params = cast_params_for_inference(params, getattr(model, "dtype",
                                                        jnp.float32))
@@ -79,7 +88,8 @@ def make_franky_predictor(model, params, tokenizer, *,
                 max_new_tokens=max_new_tokens, beam_width=beam_width,
                 eos_id=eot_id, length_penalty=1.0,
                 n_best=rescorer is not None,
-                int8_weights=int8_weights, qweights=qweights)
+                int8_weights=int8_weights, qweights=qweights,
+                int8_kv=int8_kv)
             if rescorer is not None:
                 from frankenstein_tpu.models import llama as llama_mod
                 lm_module, lm_params = rescorer[0], rescorer[1]
@@ -95,7 +105,7 @@ def make_franky_predictor(model, params, tokenizer, *,
                                      max_new_tokens=max_new_tokens,
                                      temperature=temperature, top_k=top_k,
                                      int8_weights=int8_weights,
-                                     qweights=qweights)
+                                     qweights=qweights, int8_kv=int8_kv)
         trimmed = sampling.trim_at_eot(toks, eot_id)
         return [tokenizer.decode(t, skip_special_tokens=True) for t in trimmed]
 

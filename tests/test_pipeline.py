@@ -109,6 +109,23 @@ def test_predictor_w8a16_plumbing_llama():
         predict(xs)
 
 
+def test_predictor_int8_kv():
+    """int8_kv=True (the FrankyLlama bench serving default, BASELINE r5)
+    must serve through the predictor on BOTH decode branches — off-TPU it
+    takes the scanned dequant fallback, so unlike w8a16 the contract is
+    'produces sentences', not a loud guard."""
+    model, params, cfg = tiny_franky()
+    tok = tokenizers.ByteTokenizer(eot_id=299)
+    xs = np.random.default_rng(7).standard_normal((2, 32, 8)).astype(np.float32)
+
+    for kwargs in ({"top_k": 5}, {"beam_width": 2}):
+        predict = pipeline.make_franky_predictor(
+            model, params, tok, max_new_tokens=6, eot_id=299,
+            int8_kv=True, **kwargs)
+        sents = predict(xs)
+        assert len(sents) == 2 and all(isinstance(s, str) for s in sents)
+
+
 def test_predictor_with_llama_rescorer():
     """The full reference-README chain (brain -> GPT beams -> LLaMA rescore):
     alpha=0 (pure decoder scores) must reproduce the plain beam output since
