@@ -61,6 +61,7 @@ def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
                          start_id: Optional[int] = None, batch_size: int = 16,
                          max_new_tokens: int = 32, eot_id: Optional[int] = None,
                          beam_width: int = 0, length_penalty: float = 1.0,
+                         int8_kv: bool = False,
                          normalize: Callable = process_string):
     """Whisper-path WER: cached decode over [N, n_mels, T] inputs — greedy
     by default, deterministic beam search with ``beam_width > 1`` (the
@@ -72,7 +73,13 @@ def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
     sequence (``<|startoftranscript|><|lang|><|task|><|notimestamps|>`` for an
     HF-imported checkpoint — the reference decodes through the HF processor
     with exactly this prompt), and generation is trimmed at the model's end
-    token."""
+    token.
+
+    ``int8_kv=True`` quantizes the prefilled self- and cross-KV to int8
+    (``whisper.quantize_whisper_cache``, fixed per-(head, dim) scales):
+    measured 435.0 -> 524.4 sentences/sec/chip on w=5 beams at b=32
+    (BASELINE.md round 5); fidelity is tolerance-tested in
+    tests/test_whisper.py."""
     from frankenstein_tpu.models import whisper as whisper_lib
 
     cfg = model.cfg
@@ -99,6 +106,8 @@ def evaluate_seq2seq_wer(model, params, mels, sentences, tokenizer, *,
             cfg, batch_size, len(prompt) + max_new_tokens + 2)
         logits, cache, length = _whisper_prefill_jit(model, params, tok0,
                                                      jnp.asarray(xs), cache)
+        if int8_kv:
+            cache = whisper_lib.quantize_whisper_cache(cache)
         if beam_width > 1:
             seqs, _ = sampling.beam_from_prefill(
                 model, params, logits, cache, length,

@@ -309,6 +309,14 @@ def test_whisper_eval_beam_path(tiny_whisper):
         batch_size=2, max_new_tokens=5, beam_width=3)
     assert len(preds) == 4 and np.isfinite(wer)
 
+    # int8_kv serving mode (quantize_whisper_cache after prefill) must run
+    # the same driver end-to-end — both decode branches
+    for kw in ({"beam_width": 3}, {}):
+        wer_q, preds_q = evaluate.evaluate_seq2seq_wer(
+            model, params, mels, ["a b"] * 4, tok,
+            batch_size=2, max_new_tokens=5, int8_kv=True, **kw)
+        assert len(preds_q) == 4 and np.isfinite(wer_q)
+
 
 def test_whisper_beam_matches_hf_beam_no_eos():
     """Beam parity with the reference's actual decode path: HF
