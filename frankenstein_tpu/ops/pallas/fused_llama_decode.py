@@ -777,8 +777,17 @@ def _vmem_estimate_bigmodel(b: int, s: int, e: int, e_kv: int, f: int,
     norms = 2 * n_layers * e * 4 + 2 * e * 4
     scales = n_layers * (3 * e + 2 * e_kv + 2 * f) * 4   # w8a16 worst case
     stack = b * s * e * (3 * compute + 4) + 4 * b * fc * 4 + 12 * b * e * 4
+    # w8a16 scratch holds int8 codes, but every MXU dot first materializes a
+    # bf16 CONVERTED copy of its weight operand on Mosaic's stack — ~2 such
+    # converts live at once. Omitting this admitted a dim-2560/ff-6912 shape
+    # at hc=2 that Mosaic then scoped-vmem-OOMed by 3.1 MiB (measured
+    # 2026-08-21: actual 117.1 MiB vs an 96.6 MiB estimate; the ~21 MiB gap
+    # ~= one live [e, fc] bf16 convert). Calibrated so the TPU-validated
+    # 0.82B w8a16 shape keeps its measured hc=2 while the 2560/6912 shape
+    # moves to hc=6, whose smaller mlp scratch + converts fit.
+    converts = (2 * e * max(e, fc) * compute if w_itemsize < compute else 0)
     return (attn_w + mlp_w + caches + tiles + norms + scales + stack
-            + 2 * b * e * 4)
+            + converts + 2 * b * e * 4)
 
 
 def _pick_bigmodel_chunks(b: int, s: int, e: int, e_kv: int, f: int,

@@ -641,3 +641,24 @@ def test_fused_decode_bigmodel_matches_scanned(monkeypatch, mode, hc):
     else:
         np.testing.assert_allclose(np.asarray(kc), np.asarray(ref_k),
                                    atol=5e-5, rtol=1e-5)
+
+
+def test_bigmodel_gate_w8_convert_margin():
+    """The bigmodel VMEM gate must budget the bf16 converted copies of int8
+    weight operands (w8a16): omitting them admitted a dim-2560/ff-6912
+    shape at hc=2 that Mosaic scoped-vmem-OOMed by 3.1 MiB on TPU
+    (2026-08-21). Pins the calibration: the failing shape now picks a
+    smaller chunk (hc=6), while the TPU-VALIDATED 0.82B picks are
+    unchanged (w8 hc=2 measured at 1.27 ms/token, BASELINE.md round 5)."""
+    from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
+
+    pick = fld._pick_bigmodel_chunks
+    # the shape that OOMed pre-fix (1.8B-class: dim 2560, ff 6912, GQA
+    # 20q/4kv, b=8, cache 48): w8a16 must NOT pick hc<=2 anymore
+    assert pick(8, 48, 2560, 512, 6912, 24, 2, 1, 2) == 6
+    # bf16 paths carry no convert margin: unchanged
+    assert pick(8, 48, 2560, 512, 6912, 24, 2, 2, 2) == 9
+    # the 0.82B TPU-validated picks must not regress (measured configs)
+    assert pick(8, 48, 2048, 1024, 5632, 16, 2, 1, 2) == 2
+    assert pick(8, 48, 2048, 1024, 5632, 16, 2, 2, 2) == 4
+    assert pick(8, 48, 2048, 1024, 5632, 16, 2, 2, 1) == 4

@@ -35,8 +35,18 @@ def main(batch: int = 8, prompt: int = 8, max_new: int = 24):
     from frankenstein_tpu.ops.pallas import fused_llama_decode as fld
     from frankenstein_tpu.utils import profiling
 
-    cfg = llama.LlamaConfig(vocab_size=50304, dim=2048, n_layers=16,
-                            n_heads=32, n_kv_heads=8, hidden_dim=5632,
+    # geometry overridable via env (FK_PROBE_DIM/LAYERS/HEADS/KV/FF) — the
+    # default is the ~0.82B BASELINE.md shape; FK_PROBE_DIM=2560
+    # FK_PROBE_LAYERS=24 FK_PROBE_HEADS=20 FK_PROBE_KV=4 FK_PROBE_FF=6912
+    # is a ~1.8B shape that still fits f32-init + bf16-cast on one 16 GB
+    # chip (the probe inits on device; param_dtype is f32)
+    import os as _os
+    geo = lambda k, d: int(_os.environ.get(f"FK_PROBE_{k}", d))
+    cfg = llama.LlamaConfig(vocab_size=50304, dim=geo("DIM", 2048),
+                            n_layers=geo("LAYERS", 16),
+                            n_heads=geo("HEADS", 32),
+                            n_kv_heads=geo("KV", 8),
+                            hidden_dim=geo("FF", 5632),
                             rope_theta=500000.0, max_seq_len=256,
                             tie_embeddings=True)
     model = llama.Llama(cfg, dtype=jnp.bfloat16)
